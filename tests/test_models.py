@@ -1,0 +1,82 @@
+"""Shape / dtype / gradient / jit sanity for the Flax models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsr_tpu.models import ResUNet, SimpleUNet, VGG16
+
+
+def test_simple_unet_shapes():
+    m = SimpleUNet(widths=(8, 16))
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 32, 32, 3) and y.dtype == jnp.float32
+
+
+def test_simple_unet_bf16_compute():
+    m = SimpleUNet(widths=(8, 16), dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    # params stay fp32, output returns fp32
+    assert v["params"]["enc1"]["conv1"]["kernel"].dtype == jnp.float32
+    assert m.apply(v, x).dtype == jnp.float32
+
+
+def test_simple_unet_grads():
+    m = SimpleUNet(widths=(4, 8))
+    x = jnp.ones((1, 16, 16, 3), jnp.float32) * 0.5
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.mean(m.apply({"params": p}, x) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    norms = jax.tree.map(lambda a: float(jnp.abs(a).sum()), g)
+    total = sum(jax.tree.leaves(norms))
+    assert np.isfinite(total) and total > 0
+
+
+def test_resunet_shapes_and_batchstats():
+    m = ResUNet(widths=(4, 8, 16), bottleneck_width=32)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=True)
+    assert "batch_stats" in v
+    y, new_vars = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert y.shape == (2, 32, 32, 3)
+    y_eval = m.apply(v, x, train=False)
+    assert y_eval.shape == (2, 32, 32, 3)
+
+
+def test_resunet_rejects_bad_spatial():
+    m = ResUNet(widths=(4, 8, 16), bottleneck_width=32)
+    with pytest.raises(AssertionError):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 30, 30, 3)), train=True)
+
+
+def test_vgg_taps_and_logits():
+    m = VGG16(num_classes=43)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    logits = m.apply(v, x)
+    assert logits.shape == (1, 43)
+    # relu1_2 tap (ref:11:93): full-res, 64ch
+    tap2 = m.apply(v, x, tap_layer=2)
+    assert tap2.shape == (1, 64, 64, 64)
+    # features end (ref:12:37-44): /32 res, 512ch
+    tap30 = m.apply(v, x, tap_layer=30)
+    assert tap30.shape == (1, 2, 2, 512)
+    logits2, feats = m.apply(v, x, return_features=True)
+    assert feats.shape == (1, 2, 2, 512)
+    assert np.allclose(np.asarray(logits), np.asarray(logits2))
+
+
+def test_vgg_dropout_train_mode():
+    m = VGG16(num_classes=5, cfg=(8, "M", 16, "M"), fc_width=32)
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    a = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    b = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(a), np.asarray(b))

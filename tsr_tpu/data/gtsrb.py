@@ -1,0 +1,219 @@
+"""GTSRB data pipeline.
+
+Host-side equivalents of the reference's data layer:
+
+- :func:`download_gtsrb` — ref:01:5-18 (gated; zero-egress environments get
+  a clear message and can point ``root`` at an existing copy).
+- :class:`ImageFolder` — torchvision ``ImageFolder`` semantics used by the
+  judge/eval paths (ref:05:32, 06:39): classes are the sorted subdirectory
+  names; samples sorted per class.
+- :class:`PairedFolder` — the restorer's (distorted, clean) pairing by
+  relative path with ``.png`` fallback (ref:07:35-72).
+- :func:`batches` — a shuffling, epoch-based batch iterator with a
+  background-thread prefetcher standing in for DataLoader workers
+  (ref:05:39, 07:137). Decode+resize happen here on host; all distortion
+  math runs on device (tsr_tpu.ops.distortions).
+
+Images are decoded with cv2 (BGR->RGB) and bilinear-resized to the target
+size, returned as uint8 NHWC arrays.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+import queue
+import threading
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tsr_tpu import configs
+
+IMG_EXTENSIONS = (".ppm", ".png", ".jpg", ".jpeg", ".bmp")
+
+DEFAULT_ROOT = "./data/gtsrb/GTSRB/Training"
+GTSRB_URL = (
+    "https://sid.erda.dk/public/archives/"
+    "daaeac0d7ce1152aea9b61d9f1e19370/GTSRB-Training_fixed.zip"
+)
+
+
+def download_gtsrb(root: str = "./data") -> str:
+    """Fetch and extract the GTSRB training split (ref:01:5-18).
+
+    Returns the Training-tree path. In offline environments this raises with
+    instructions rather than failing mysteriously.
+    """
+    target = Path(root) / "gtsrb" / "GTSRB" / "Training"
+    if target.exists():
+        return str(target)
+    import io
+    import urllib.request
+    import zipfile
+
+    try:
+        with urllib.request.urlopen(GTSRB_URL, timeout=60) as r:
+            data = r.read()
+    except Exception as e:  # pragma: no cover - network-dependent
+        raise RuntimeError(
+            f"Could not download GTSRB ({e}). If you have a copy, place the "
+            f"class folders under {target} (ref layout: "
+            "<Training>/<class>/<img>.ppm)."
+        ) from e
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:  # pragma: no cover
+        zf.extractall(Path(root) / "gtsrb")
+    return str(target)
+
+
+def _decode_resize(path: str, size: int) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        # PIL fallback for formats cv2 rejects
+        from PIL import Image
+
+        pil = Image.open(path).convert("RGB")
+        img = np.asarray(pil)[:, :, ::-1]
+    img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+    return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
+
+
+class ImageFolder:
+    """torchvision-ImageFolder-equivalent directory scanner.
+
+    ``classes`` are the sorted subdirectory names (matching the reference's
+    label indexing, ref:05:32); ``samples`` is a list of (path, label).
+    """
+
+    def __init__(self, root: str, size: int = configs.IMAGE_SIZE):
+        self.root = Path(root)
+        self.size = size
+        if not self.root.exists():
+            raise FileNotFoundError(f"{root} does not exist")
+        self.classes = sorted(
+            d.name for d in self.root.iterdir() if d.is_dir()
+        )
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        self.samples: List[Tuple[str, int]] = []
+        for c in self.classes:
+            for p in sorted((self.root / c).iterdir()):
+                if p.suffix.lower() in IMG_EXTENSIONS:
+                    self.samples.append((str(p), self.class_to_idx[c]))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def load(self, idx: int) -> Tuple[np.ndarray, int]:
+        path, label = self.samples[idx]
+        return _decode_resize(path, self.size), label
+
+
+class PairedFolder:
+    """(distorted, clean) pairs matched by relative path with ``.png``
+    fallback (ref:07:44-55)."""
+
+    def __init__(self, clean_root: str, distorted_root: str,
+                 size: int = configs.IMAGE_SIZE,
+                 exts: Sequence[str] = (".ppm",)):
+        self.size = size
+        clean_root = Path(clean_root)
+        distorted_root = Path(distorted_root)
+        clean_files: List[Path] = []
+        for ext in exts:
+            clean_files += list(clean_root.glob(f"*/*{ext}"))
+        self.pairs: List[Tuple[str, str]] = []
+        for c_path in sorted(clean_files):
+            rel = c_path.relative_to(clean_root)
+            d_path = distorted_root / rel
+            if not d_path.exists():
+                d_path = d_path.with_suffix(".png")
+            if d_path.exists():
+                self.pairs.append((str(d_path), str(c_path)))
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def load(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        d, c = self.pairs[idx]
+        return (_decode_resize(d, self.size), _decode_resize(c, self.size))
+
+
+def train_val_split(n: int, train_frac: float, seed: int = 0):
+    """Random index split like torch.random_split (ref:05:35-37)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    k = int(train_frac * n)
+    return perm[:k], perm[k:]
+
+
+def _load_many(dataset, indices, workers: int):
+    if workers <= 1:
+        return [dataset.load(i) for i in indices]
+    with cf.ThreadPoolExecutor(workers) as ex:
+        return list(ex.map(dataset.load, indices))
+
+
+def batches(
+    dataset,
+    indices: Optional[np.ndarray] = None,
+    batch_size: int = 32,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_remainder: bool = True,
+    workers: int = 8,
+    prefetch: int = 2,
+    epochs: Optional[int] = 1,
+) -> Iterator:
+    """Epoch-based batch iterator with background prefetch.
+
+    Yields tuples of stacked numpy arrays — ``(images, labels)`` for
+    ImageFolder, ``(bad, clean)`` for PairedFolder. cv2 decode+resize run in
+    a thread pool (cv2 releases the GIL), standing in for the reference's
+    DataLoader worker processes (ref:05:39-40, 14:213).
+    """
+    if indices is None:
+        indices = np.arange(len(dataset))
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def producer():
+        rng = np.random.default_rng(seed)
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = rng.permutation(indices) if shuffle else indices
+            limit = (len(order) // batch_size * batch_size
+                     if drop_remainder else len(order))
+            for s in range(0, limit, batch_size):
+                if stop.is_set():
+                    return
+                chunk = order[s:s + batch_size]
+                items = _load_many(dataset, chunk, workers)
+                cols = list(zip(*items))
+                out = tuple(
+                    np.stack(c) if isinstance(c[0], np.ndarray)
+                    else np.asarray(c)
+                    for c in cols
+                )
+                q.put(out)
+            epoch += 1
+        q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        stop.set()
+
+
+def env_data_root() -> str:
+    """Resolve the GTSRB Training tree: $TSR_GTSRB_DIR or the reference's
+    default relative path."""
+    return os.environ.get("TSR_GTSRB_DIR", DEFAULT_ROOT)
