@@ -1,0 +1,67 @@
+"""Fine-tune the VGG16 judge on the clean tree (ref:05): SGD(1e-3, 0.9),
+CE loss, 10 epochs, BS 64, 80/20 split, best-val-acc checkpoint.
+
+Deviation: ImageNet pretrained weights are unobtainable offline, so the
+judge trains from scratch; pass --batchnorm (vgg16_bn variant) for a
+trainable-from-scratch configuration, or --init-pth to start from a
+torchvision-format .pth if you have one.
+"""
+
+import functools
+
+import optax
+
+from _common import base_parser, ensure_clean_tree, judge_ckpt_path
+
+from tsr_tpu import checkpoint as ckpt
+from tsr_tpu import configs, zoo
+from tsr_tpu.data import gtsrb
+from tsr_tpu.train import common, loops
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--batchnorm", action="store_true")
+    p.add_argument("--init-pth", default=None,
+                   help="torchvision-format VGG16 .pth to start from")
+    p.add_argument("--save", default=None)
+    p.add_argument("--workers", type=int, default=8)
+    args = p.parse_args()
+    args.save = args.save or judge_ckpt_path(args)
+    cfg = configs.JudgeTrainConfig(
+        batch_size=args.batch_size, epochs=args.epochs,
+        learning_rate=args.lr, seed=args.seed)
+
+    root = ensure_clean_tree(args)
+    ds = gtsrb.ImageFolder(root, size=args.image_size)
+    print(f"Training set: {len(ds)} images, {len(ds.classes)} classes")
+    tr_idx, va_idx = gtsrb.train_val_split(len(ds), cfg.train_split,
+                                           cfg.seed)
+
+    judge, variables = zoo.build_judge(
+        num_classes=len(ds.classes), use_batchnorm=args.batchnorm,
+        size=args.image_size)
+    if args.init_pth:
+        variables = ckpt.vgg16_from_pth(ckpt.load_pth(args.init_pth),
+                                        num_classes=len(ds.classes))
+    state = common.TrainState.create(
+        judge.apply, variables, common.judge_optimizer(cfg))
+
+    mk = functools.partial(gtsrb.batches, ds, batch_size=cfg.batch_size,
+                           workers=args.workers)
+    loops.train_judge(
+        state,
+        train_batches=lambda ep: mk(indices=tr_idx, seed=cfg.seed + ep),
+        val_batches=lambda: mk(indices=va_idx, shuffle=False,
+                               drop_remainder=False),
+        cfg=cfg, save_path=args.save,
+        ckpt_config={"kind": "vgg16", "num_classes": len(ds.classes),
+                     "use_batchnorm": args.batchnorm})
+    print(f"Done. Checkpoint at {args.save}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Train a specialized SimpleUNet restorer per task (ref:07): MSE + Adam
+(1e-3), 15 epochs, BS 32, 90/10 split, checkpoint every 5 epochs.
+
+Unlike the reference's edit-TASK_NAME-and-rerun pattern (ref:07:13-15), the
+task is a flag: --task noise|blur|fog.
+"""
+
+import functools
+
+from _common import (PROCESSED, base_parser, ensure_clean_tree,
+                     restorer_ckpt_path)
+
+from tsr_tpu import configs, zoo
+from tsr_tpu.data import gtsrb
+from tsr_tpu.train import common, loops
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--task", default="noise",
+                   choices=["noise", "blur", "fog", "compound"])
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--distorted-dir", default=None)
+    p.add_argument("--save", default=None)
+    p.add_argument("--workers", type=int, default=8)
+    args = p.parse_args()
+    cfg = configs.RestorationTrainConfig(
+        task=args.task, batch_size=args.batch_size, epochs=args.epochs,
+        learning_rate=args.lr, seed=args.seed)
+
+    clean = ensure_clean_tree(args)
+    distorted = args.distorted_dir or f"{PROCESSED}/{args.task.capitalize()}"
+    save = args.save or restorer_ckpt_path(args.task, args)
+
+    ds = gtsrb.PairedFolder(clean, distorted, size=args.image_size)
+    print(f"Matched pairs: {len(ds)}")
+    tr_idx, va_idx = gtsrb.train_val_split(len(ds), cfg.train_split,
+                                           cfg.seed)
+
+    unet, variables = zoo.build_simple_unet(size=args.image_size)
+    state = common.TrainState.create(
+        unet.apply, variables, common.restoration_optimizer(cfg))
+
+    step = common.make_restoration_train_step(pixel="mse")
+    evalf = common.make_restoration_eval_step(pixel="mse")
+    mk = functools.partial(gtsrb.batches, ds, batch_size=cfg.batch_size,
+                           workers=args.workers)
+    loops.train_restorer(
+        state,
+        train_batches=lambda ep: mk(indices=tr_idx, seed=cfg.seed + ep),
+        val_batches=lambda: mk(indices=va_idx, shuffle=False,
+                               drop_remainder=False),
+        epochs=cfg.epochs, step_fn=step, eval_fn=evalf, save_path=save,
+        checkpoint_every=cfg.checkpoint_every)
+    print(f"Done. Checkpoint at {save}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Train the advanced (perceptual-loss) SimpleUNet (ref:07adv): loss = L1 +
+0.1*VGG-perceptual on UN-normalized inputs (reference quirk, ref:07adv:150),
+Adam(2e-4). Default task: blur.
+
+The perceptual VGG uses the trained judge's features (--judge), since
+ImageNet weights are unobtainable offline (documented deviation)."""
+
+import functools
+
+from _common import (PROCESSED, base_parser, ensure_clean_tree,
+                     judge_ckpt_path, restorer_ckpt_path)
+
+from tsr_tpu import configs, zoo
+from tsr_tpu.data import gtsrb
+from tsr_tpu.models.vgg import PERCEPTUAL_TAP
+from tsr_tpu.train import common, loops
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--task", default="blur")
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--perceptual-weight", type=float, default=0.1)
+    p.add_argument("--judge", default=None,
+                   help="judge checkpoint for perceptual features; "
+                        "'none' disables the perceptual term")
+    p.add_argument("--num-classes", type=int, default=None)
+    p.add_argument("--distorted-dir", default=None)
+    p.add_argument("--save", default=None)
+    p.add_argument("--workers", type=int, default=8)
+    args = p.parse_args()
+    if args.judge is None:
+        args.judge = judge_ckpt_path(args)
+    cfg = configs.AdvancedTrainConfig(
+        task=args.task, batch_size=args.batch_size, epochs=args.epochs,
+        learning_rate=args.lr, perceptual_weight=args.perceptual_weight,
+        seed=args.seed)
+
+    clean = ensure_clean_tree(args)
+    distorted = args.distorted_dir or f"{PROCESSED}/{args.task.capitalize()}"
+    save = args.save or restorer_ckpt_path(args.task, args)
+
+    ds = gtsrb.PairedFolder(clean, distorted, size=args.image_size)
+    print(f"Matched pairs: {len(ds)}")
+    tr_idx, va_idx = gtsrb.train_val_split(len(ds), cfg.train_split,
+                                           cfg.seed)
+
+    vgg_apply = None
+    if args.judge != "none":
+        ncls = args.num_classes or len(gtsrb.ImageFolder(clean).classes)
+        judge, jvars = zoo.load_model("vgg16", args.judge, args.image_size,
+                                      num_classes=ncls)
+
+        def vgg_apply(x01):  # frozen features[:16], un-normalized input
+            return judge.apply(jvars, x01, train=False,
+                               tap_layer=PERCEPTUAL_TAP)
+
+    unet, variables = zoo.build_simple_unet(size=args.image_size)
+    state = common.TrainState.create(
+        unet.apply, variables, common.advanced_optimizer(cfg))
+
+    step = common.make_restoration_train_step(
+        pixel="l1", perceptual_weight=cfg.perceptual_weight,
+        vgg_apply=vgg_apply)
+    evalf = common.make_restoration_eval_step(
+        pixel="l1", perceptual_weight=cfg.perceptual_weight,
+        vgg_apply=vgg_apply)
+    mk = functools.partial(gtsrb.batches, ds, batch_size=cfg.batch_size,
+                           workers=args.workers)
+    loops.train_restorer(
+        state,
+        train_batches=lambda ep: mk(indices=tr_idx, seed=cfg.seed + ep),
+        val_batches=lambda: mk(indices=va_idx, shuffle=False,
+                               drop_remainder=False),
+        epochs=cfg.epochs, step_fn=step, eval_fn=evalf, save_path=save)
+    print(f"Done. Checkpoint at {save}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Cascade stress test (ref:13): N random clean images, step-by-step
+Blur->Fog->Noise distortion (mild params), chained Noise->Fog->Blur
+restoration through the three specialized U-Nets (raw tensor between
+stages), VGG confidence at all 7 stages, per-image 2x4 figure + mean
+confidence report."""
+
+import random
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from _common import (base_parser, ensure_clean_tree, judge_ckpt_path,
+                     restorer_ckpt_path)
+
+from tsr_tpu import pipeline, viz, zoo
+from tsr_tpu.data import gtsrb
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--num-samples", type=int, default=10)
+    p.add_argument("--model", default=None)
+    p.add_argument("--num-classes", type=int, default=None)
+    p.add_argument("--out-dir", default="pipeline_results")
+    args = p.parse_args()
+    args.model = args.model or judge_ckpt_path(args)
+    clean_root = Path(ensure_clean_tree(args))
+
+    ncls = args.num_classes or len(gtsrb.ImageFolder(clean_root).classes)
+    judge, jv = zoo.load_model("vgg16", args.model, args.image_size,
+                               num_classes=ncls)
+    unet, _ = zoo.build_simple_unet(size=args.image_size)
+    restorer_vars = {}
+    for task in ("noise", "fog", "blur"):
+        _, v = zoo.load_model("simple_unet", restorer_ckpt_path(task, args),
+                              args.image_size)
+        restorer_vars[task] = v
+
+    files = sorted(f for f in clean_root.glob("*/*")
+                   if f.suffix.lower() in gtsrb.IMG_EXTENSIONS)
+    random.seed(args.seed)
+    picks = random.sample(files, min(args.num_samples, len(files)))
+    batch = np.stack([gtsrb._decode_resize(str(f), args.image_size)
+                      for f in picks])
+
+    out = pipeline.cascade_stress(
+        batch, unet.apply, restorer_vars, judge.apply, jv,
+        jax.random.PRNGKey(args.seed))
+
+    outdir = Path(args.out_dir)
+    outdir.mkdir(exist_ok=True)
+    for i in range(len(batch)):
+        stages = [(name, imgs[i]) for name, imgs in out["stages"]]
+        annot = [f"pred {int(out['preds'][k][i])} "
+                 f"conf {float(out['confidences'][k][i]):.2f}"
+                 for k in range(len(stages))]
+        viz.cascade_figure(stages, annot,
+                           str(outdir / f"pipeline_sample_{i + 1}.png"))
+
+    mc = out["mean_confidence"]
+    print("=" * 40)
+    print("Mean confidence report")
+    print("=" * 40)
+    print(f"Clean:     {mc['clean']:.4f}")
+    print(f"Distorted: {mc['distorted']:.4f}")
+    print(f"Restored:  {mc['restored']:.4f}")
+    print(f"Figures in {outdir}/")
+
+
+if __name__ == "__main__":
+    main()

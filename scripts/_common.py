@@ -1,0 +1,86 @@
+"""Shared plumbing for the numbered scripts.
+
+Each script mirrors one reference script's behavior and default paths
+(SURVEY.md §2) but is a thin wrapper over the tsr_tpu library, with
+argparse instead of edit-the-constants (ref:07:13-15). ``--synthetic``
+builds a synthetic sign tree first so every script runs in air-gapped
+environments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# This image's sitecustomize force-registers the axon TPU backend and
+# overrides the JAX_PLATFORMS env var via jax.config. Honor an explicit
+# cpu request (used by tests / CPU-only runs) by forcing it back.
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax
+
+    from jax._src import xla_bridge as _xb
+
+    if not _xb.backends_are_initialized():
+        jax.config.update("jax_platforms", "cpu")
+
+DATA_ROOT = "./data"
+CLEAN_DIR = "./data/gtsrb/GTSRB/Training"
+PROCESSED = "./data/processed"
+RESTORED = "./data/restored"
+
+CKPT_DIR = "./checkpoints"
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--clean-dir", default=os.environ.get(
+        "TSR_GTSRB_DIR", CLEAN_DIR))
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a synthetic sign tree at --clean-dir "
+                        "if it does not exist")
+    p.add_argument("--synthetic-classes", type=int, default=10)
+    p.add_argument("--synthetic-per-class", type=int, default=40)
+    p.add_argument("--image-size", type=int, default=224,
+                   help="model input resolution (reference: 224)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt-dir", default=os.environ.get(
+        "TSR_CKPT_DIR", CKPT_DIR))
+    return p
+
+
+def ensure_clean_tree(args) -> str:
+    if not Path(args.clean_dir).exists():
+        if args.synthetic:
+            from tsr_tpu.data import synthetic
+
+            print(f"Generating synthetic tree at {args.clean_dir} ...")
+            synthetic.write_image_tree(
+                args.clean_dir, num_classes=args.synthetic_classes,
+                per_class=args.synthetic_per_class, size=64, seed=args.seed)
+        else:
+            raise SystemExit(
+                f"{args.clean_dir} not found. Run scripts/01_download_data.py"
+                " or pass --synthetic.")
+    return args.clean_dir
+
+
+def judge_ckpt_path(args=None) -> str:
+    d = getattr(args, "ckpt_dir", None) or os.environ.get(
+        "TSR_CKPT_DIR", CKPT_DIR)
+    return os.path.join(d, "vgg16_baseline")
+
+
+def restorer_ckpt_path(task: str, args=None) -> str:
+    d = getattr(args, "ckpt_dir", None) or os.environ.get(
+        "TSR_CKPT_DIR", CKPT_DIR)
+    return os.path.join(d, f"restoration_{task.lower()}")
+
+
+def unified_ckpt_path(args=None) -> str:
+    d = getattr(args, "ckpt_dir", None) or os.environ.get(
+        "TSR_CKPT_DIR", CKPT_DIR)
+    return os.path.join(d, "restoration_unified_resnet")

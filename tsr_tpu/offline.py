@@ -1,0 +1,131 @@
+"""Offline dataset generation: distorted file trees from clean file trees.
+
+TPU-batched equivalent of the reference's offline generators (ref:02/03/04
+and ref:16): read each ``<class>/<img>`` from the clean tree, distort at
+**native resolution** (the reference distorts before its transforms resize,
+so blur strength is relative to native pixels), and write to a mirrored
+tree (``.ppm`` kept for noise/blur/fog per ref:02:47-54; ``.png`` for
+compound per ref:16:55).
+
+Native sizes vary per image, so images are **bucketed**: reflect-101-padded
+up to the next bucket size, distorted as a batch, and cropped back. For
+pointwise distortions the pad is irrelevant; for blur, reflect-101 padding
+composes exactly with filter2d's own reflect-101 border, so the cropped
+result equals native-size processing. One jit compilation per bucket instead
+of per shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from tsr_tpu import configs
+from tsr_tpu.data import gtsrb
+from tsr_tpu.ops import distortions
+
+BUCKETS = (32, 48, 64, 96, 128, 160, 192, 224, 256)
+
+
+def _bucket(n: int) -> int:
+    for b in BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 31) // 32) * 32
+
+
+def _pad_reflect(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    ph, pw = h - img.shape[0], w - img.shape[1]
+    if ph == 0 and pw == 0:
+        return img
+    # Tile reflect-101 padding if the image is smaller than the pad needs
+    out = img
+    while out.shape[0] < h or out.shape[1] < w:
+        eh = min(h - out.shape[0], out.shape[0] - 1)
+        ew = min(w - out.shape[1], out.shape[1] - 1)
+        out = np.pad(out, ((0, max(eh, 0)), (0, max(ew, 0)), (0, 0)),
+                     mode="reflect")
+    return out
+
+
+KINDS: Dict[str, Tuple[Callable, bool, str]] = {}
+
+
+def _register_kinds():
+    """kind -> (fn(batch_u8, key) -> batch_u8, needs_key, out_suffix)."""
+    KINDS["noise"] = (
+        lambda x, k: distortions.add_gaussian_noise(
+            x, k, var=configs.NoiseConfig().var),
+        True, None)
+    KINDS["blur"] = (
+        lambda x, k: distortions.apply_motion_blur(
+            x, configs.BlurConfig().degree, configs.BlurConfig().angle,
+            minmax_normalize=True),
+        False, None)
+    KINDS["fog"] = (
+        lambda x, k: distortions.add_fog(
+            x, k, fog_intensity=configs.FogConfig().intensity),
+        True, None)
+    KINDS["compound"] = (
+        lambda x, k: distortions.apply_compound_distortion(x, k),
+        True, ".png")
+
+
+_register_kinds()
+
+
+def generate_tree(
+    src_dir: str,
+    dst_dir: str,
+    kind: str,
+    seed: int = 0,
+    batch_size: int = 256,
+    log: Callable[[str], None] = print,
+) -> int:
+    """Distort every image under ``src_dir`` into ``dst_dir`` (class tree
+    preserved). Returns the number of images written."""
+    import cv2
+
+    fn, needs_key, suffix = KINDS[kind]
+    src = Path(src_dir)
+    dst = Path(dst_dir)
+    files = sorted(
+        p for p in src.glob("*/*") if p.suffix.lower() in gtsrb.IMG_EXTENSIONS
+    )
+    log(f"Found {len(files)} images, generating '{kind}' data...")
+
+    # group by bucket
+    groups: Dict[Tuple[int, int], List[Tuple[Path, np.ndarray]]] = {}
+    for p in files:
+        img = cv2.imread(str(p))
+        if img is None:
+            continue
+        img = np.ascontiguousarray(img[:, :, ::-1])  # BGR->RGB
+        b = (_bucket(img.shape[0]), _bucket(img.shape[1]))
+        groups.setdefault(b, []).append((p, img))
+
+    key = jax.random.PRNGKey(seed)
+    written = 0
+    jfn = jax.jit(fn) if needs_key else jax.jit(lambda x, k: fn(x, None))
+    for (bh, bw), items in sorted(groups.items()):
+        for s in range(0, len(items), batch_size):
+            chunk = items[s:s + batch_size]
+            batch = np.stack(
+                [_pad_reflect(img, bh, bw) for _, img in chunk])
+            key, sub = jax.random.split(key)
+            out = np.asarray(jfn(batch, sub))
+            for (p, img), o in zip(chunk, out):
+                h, w = img.shape[:2]
+                rel = p.relative_to(src)
+                outp = dst / rel
+                if suffix:
+                    outp = outp.with_suffix(suffix)
+                outp.parent.mkdir(parents=True, exist_ok=True)
+                cv2.imwrite(str(outp), o[:h, :w, ::-1])
+                written += 1
+    log(f"Done: {written} images -> {dst}")
+    return written

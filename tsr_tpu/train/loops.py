@@ -15,7 +15,7 @@ from typing import Callable, Iterable, Optional
 import jax
 import numpy as np
 
-from tsr_tpu import checkpoint as ckpt
+from tsr_tpu import checkpoint as ckpt  # noqa: F401 (re-export for tests)
 from tsr_tpu import configs
 from tsr_tpu.ops import image as image_ops
 from tsr_tpu.train import common
@@ -26,6 +26,12 @@ def _epoch_mean(vals):
     return float(np.mean(vals)) if vals else float("nan")
 
 
+def _save_ckpt(save_path, state, config=None):
+    from tsr_tpu import zoo
+
+    zoo.save_checkpoint(save_path, state, config=config)
+
+
 def train_judge(
     state: common.TrainState,
     train_batches: Callable[[int], Iterable],
@@ -33,6 +39,7 @@ def train_judge(
     cfg: configs.JudgeTrainConfig,
     save_path: Optional[str] = None,
     log: Callable[[str], None] = print,
+    ckpt_config: Optional[dict] = None,
 ):
     """Judge fine-tune loop (ref:05:65-118). ``train_batches(epoch)`` and
     ``val_batches()`` yield (images_u8, labels) numpy batches."""
@@ -63,7 +70,7 @@ def train_judge(
         log(f"  val acc {val_acc:.4f}")
         if val_acc > best_acc and save_path:
             best_acc = val_acc
-            ckpt.save_train_state(save_path, state_to_tree(state))
+            _save_ckpt(save_path, state, ckpt_config)
             log(f"  saved best (val acc {best_acc:.4f})")
     return state, best_acc
 
@@ -80,6 +87,7 @@ def train_restorer(
     save_best: bool = False,
     log: Callable[[str], None] = print,
     batch_to_float: bool = True,
+    ckpt_config: Optional[dict] = None,
 ):
     """Shared restorer loop for the specialized/advanced paths (ref:07
     trains on precomputed (bad, clean) pairs, saving every N epochs;
@@ -111,13 +119,13 @@ def train_restorer(
 
         if save_path:
             if checkpoint_every and (epoch + 1) % checkpoint_every == 0:
-                ckpt.save_train_state(save_path, state_to_tree(state))
+                _save_ckpt(save_path, state, ckpt_config)
             if save_best and vl < best_loss:
                 best_loss = vl
-                ckpt.save_train_state(save_path, state_to_tree(state))
+                _save_ckpt(save_path, state, ckpt_config)
                 log("  saved best (val loss)")
     if save_path and not save_best:
-        ckpt.save_train_state(save_path, state_to_tree(state))
+        _save_ckpt(save_path, state, ckpt_config)
     return state
 
 
@@ -129,6 +137,7 @@ def train_unified(
     vgg_apply=None,
     save_path: Optional[str] = None,
     log: Callable[[str], None] = print,
+    ckpt_config: Optional[dict] = None,
 ):
     """Unified ResUNet loop (ref:14:227-267) with on-device distortion.
 
@@ -165,7 +174,7 @@ def train_unified(
         log(f"  val loss {vl:.5f}")
         if save_path and vl < best_loss:
             best_loss = vl
-            ckpt.save_train_state(save_path, state_to_tree(state))
+            _save_ckpt(save_path, state, ckpt_config)
             log("  saved best (val loss)")
     return state
 

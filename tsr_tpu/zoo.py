@@ -1,0 +1,132 @@
+"""Model zoo: builders and checkpoint loading for the three model families.
+
+Gives scripts/eval code a one-call way to construct a model and load
+weights from either an orbax checkpoint (ours) or a reference-format
+``.pth`` state dict (ref:08:68-69, 17:59-63 equivalents).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tsr_tpu import checkpoint as ckpt
+from tsr_tpu import configs
+from tsr_tpu.models import ResUNet, SimpleUNet, VGG16
+
+
+def _init(model, size: int, train: bool = False, needs_train_arg=True):
+    x = jnp.zeros((1, size, size, 3), jnp.float32)
+    if needs_train_arg:
+        return model.init(jax.random.PRNGKey(0), x, train=train)
+    return model.init(jax.random.PRNGKey(0), x)
+
+
+def build_simple_unet(dtype: Any = jnp.float32,
+                      size: int = configs.IMAGE_SIZE):
+    m = SimpleUNet(dtype=dtype)
+    return m, _init(m, size, needs_train_arg=False)
+
+
+def build_resunet(dtype: Any = jnp.float32, size: int = configs.IMAGE_SIZE):
+    m = ResUNet(dtype=dtype)
+    return m, _init(m, size, train=True)
+
+
+def build_judge(num_classes: int = configs.NUM_CLASSES,
+                use_batchnorm: bool = False,
+                dtype: Any = jnp.float32,
+                size: int = configs.IMAGE_SIZE):
+    m = VGG16(num_classes=num_classes, use_batchnorm=use_batchnorm,
+              dtype=dtype)
+    return m, _init(m, size, train=False, needs_train_arg=False)
+
+
+def load_variables(path: str, template_variables):
+    """Load model variables from ``<path>`` (orbax dir) or ``*.pth``."""
+    if path.endswith(".pth"):
+        raise ValueError("use the model-specific *_from_pth loader")
+    return ckpt.restore_train_state(path, dict(template_variables))
+
+
+def load_model(kind: str, path: Optional[str], size: int,
+               num_classes: int = configs.NUM_CLASSES,
+               use_batchnorm: bool = False,
+               dtype: Any = jnp.float32) -> Tuple[Any, Any]:
+    """kind in {'simple_unet','resunet','vgg16'}; path may be an orbax
+    model-variables dir, a .pth file, or None (fresh init).
+
+    If the checkpoint carries a ``config.json`` (written by
+    :func:`save_checkpoint`), its architecture options override the
+    arguments — so callers don't need to know how a judge was built."""
+    if path and not path.endswith(".pth"):
+        meta = _load_config(path)
+        num_classes = meta.get("num_classes", num_classes)
+        use_batchnorm = meta.get("use_batchnorm", use_batchnorm)
+    if kind == "simple_unet":
+        m, v = build_simple_unet(dtype, size)
+        from_pth = ckpt.simple_unet_from_pth
+    elif kind == "resunet":
+        m, v = build_resunet(dtype, size)
+        from_pth = ckpt.resunet_from_pth
+    elif kind == "vgg16":
+        m, v = build_judge(num_classes, use_batchnorm, dtype, size)
+        from_pth = lambda sd: ckpt.vgg16_from_pth(  # noqa: E731
+            sd, num_classes=num_classes)
+    else:
+        raise ValueError(kind)
+    if path:
+        if path.endswith(".pth"):
+            v = from_pth(ckpt.load_pth(path))
+        else:
+            v = load_variables(_model_path(path), v)
+    return m, v
+
+
+def _model_path(path: str) -> str:
+    """Accept either the checkpoint base path or its model subpath."""
+    if os.path.basename(path) == "model":
+        return path
+    mp = os.path.join(path, "model")
+    return mp if os.path.exists(mp) else path
+
+
+def save_checkpoint(base_path: str, state, config: Optional[dict] = None
+                    ) -> None:
+    """Save model variables (for inference/eval) at ``<base>/model``, the
+    full train state (for resume) at ``<base>/train``, and architecture
+    metadata at ``<base>/config.json``."""
+    import json
+
+    from tsr_tpu.train import loops
+
+    ckpt.save_train_state(os.path.join(base_path, "model"),
+                          jax.tree.map(lambda x: x, state.variables))
+    ckpt.save_train_state(os.path.join(base_path, "train"),
+                          loops.state_to_tree(state))
+    if config is not None:
+        with open(os.path.join(base_path, "config.json"), "w") as f:
+            json.dump(config, f, indent=1)
+
+
+def _load_config(base_path: str) -> dict:
+    import json
+
+    for cand in (os.path.join(base_path, "config.json"),
+                 os.path.join(os.path.dirname(base_path), "config.json")):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                return json.load(f)
+    return {}
+
+
+def load_train_state(base_path: str, template_state):
+    from tsr_tpu.train import loops
+
+    tree = ckpt.restore_train_state(
+        os.path.join(base_path, "train"),
+        loops.state_to_tree(template_state))
+    return loops.tree_to_state(tree, template_state)
