@@ -27,6 +27,9 @@ def main():
 
     from tsr_tpu.models import ResUNet, VGG16
     from tsr_tpu.ops import image as image_ops
+    from tsr_tpu.utils import profiling
+
+    profiling.enable_compilation_cache()
 
     size = int(os.environ.get("TSR_BENCH_SIZE", "224"))
     batch = int(os.environ.get("TSR_BENCH_BATCH", "64"))

@@ -31,6 +31,10 @@ class _CleanOnly:
         img, _ = self.ds.load(idx)
         return (img,)
 
+    def load_batch(self, indices):
+        imgs, _ = self.ds.load_batch(indices)
+        return (imgs,)
+
 
 def main():
     p = base_parser(__doc__)

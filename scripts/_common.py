@@ -27,6 +27,12 @@ if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
     if not _xb.backends_are_initialized():
         jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: first TPU compiles of the big models take
+# minutes; repeat script invocations reuse them.
+from tsr_tpu.utils import profiling as _profiling
+
+_profiling.enable_compilation_cache()
+
 DATA_ROOT = "./data"
 CLEAN_DIR = "./data/gtsrb/GTSRB/Training"
 PROCESSED = "./data/processed"

@@ -21,6 +21,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+from tsr_tpu.utils import profiling  # noqa: E402
+
+profiling.enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,59 @@
+"""Native C++ IO tier: build, decode, resize parity with cv2, throughput."""
+
+import numpy as np
+import pytest
+
+from tsr_tpu import native
+from tsr_tpu.data import gtsrb, synthetic
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tree")
+    synthetic.write_image_tree(str(root), num_classes=3, per_class=4,
+                               size=48, seed=1)
+    return root
+
+
+def test_builds():
+    assert native.available(), "g++ build of libtsrio failed"
+
+
+def test_decode_matches_cv2(tree):
+    import cv2
+
+    p = sorted(tree.glob("*/*.ppm"))[0]
+    ours = native.decode(str(p))
+    ref = cv2.imread(str(p))[:, :, ::-1]
+    assert ours.shape == ref.shape
+    assert (ours == ref).all()
+
+
+def test_batch_resize_matches_cv2(tree):
+    import cv2
+
+    paths = [str(p) for p in sorted(tree.glob("*/*.ppm"))[:6]]
+    ours = native.load_batch(paths, 32, threads=4)
+    assert ours.shape == (6, 32, 32, 3)
+    for i, p in enumerate(paths):
+        ref = cv2.resize(cv2.imread(p), (32, 32),
+                         interpolation=cv2.INTER_LINEAR)[:, :, ::-1]
+        diff = np.abs(ours[i].astype(int) - ref.astype(int))
+        # cv2 uses fixed-point bilinear; allow 1-level rounding skew
+        assert diff.max() <= 1, (p, diff.max())
+
+
+def test_image_folder_uses_native_path(tree):
+    ds = gtsrb.ImageFolder(str(tree), size=32)
+    imgs, labels = ds.load_batch(np.arange(4))
+    assert imgs.shape == (4, 32, 32, 3)
+    # must agree with the per-item cv2 path
+    for k in range(4):
+        ref, lab = ds.load(k)
+        assert labels[k] == lab
+        assert np.abs(imgs[k].astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_missing_file_raises(tree):
+    with pytest.raises(RuntimeError):
+        native.load_batch([str(tree / "nope.ppm")], 32)

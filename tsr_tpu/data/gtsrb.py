@@ -81,6 +81,24 @@ def _decode_resize(path: str, size: int) -> np.ndarray:
     return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
 
 
+_NATIVE_EXTS = (".ppm", ".bmp")
+
+
+def _decode_resize_batch(paths: Sequence[str], size: int,
+                         threads: int = 8) -> np.ndarray:
+    """Batch decode+resize; uses the native C++ loader (tsr_tpu.native)
+    for PPM/BMP trees — the GTSRB hot path — and cv2 otherwise."""
+    if paths and all(p.lower().endswith(_NATIVE_EXTS) for p in paths):
+        try:
+            from tsr_tpu import native
+
+            if native.available():
+                return native.load_batch(list(paths), size, threads=threads)
+        except Exception:
+            pass  # fall back to cv2
+    return np.stack([_decode_resize(p, size) for p in paths])
+
+
 class ImageFolder:
     """torchvision-ImageFolder-equivalent directory scanner.
 
@@ -109,6 +127,11 @@ class ImageFolder:
     def load(self, idx: int) -> Tuple[np.ndarray, int]:
         path, label = self.samples[idx]
         return _decode_resize(path, self.size), label
+
+    def load_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
+        paths = [self.samples[i][0] for i in indices]
+        labels = np.asarray([self.samples[i][1] for i in indices], np.int32)
+        return _decode_resize_batch(paths, self.size), labels
 
 
 class PairedFolder:
@@ -140,6 +163,12 @@ class PairedFolder:
         d, c = self.pairs[idx]
         return (_decode_resize(d, self.size), _decode_resize(c, self.size))
 
+    def load_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
+        d_paths = [self.pairs[i][0] for i in indices]
+        c_paths = [self.pairs[i][1] for i in indices]
+        return (_decode_resize_batch(d_paths, self.size),
+                _decode_resize_batch(c_paths, self.size))
+
 
 def train_val_split(n: int, train_frac: float, seed: int = 0):
     """Random index split like torch.random_split (ref:05:35-37)."""
@@ -154,6 +183,23 @@ def _load_many(dataset, indices, workers: int):
         return [dataset.load(i) for i in indices]
     with cf.ThreadPoolExecutor(workers) as ex:
         return list(ex.map(dataset.load, indices))
+
+
+def _load_chunk(dataset, indices, workers: int):
+    """Load one batch as stacked columns, preferring the dataset's native
+    batch loader (C++ threaded decode) over per-item Python loads."""
+    load_batch = getattr(dataset, "load_batch", None)
+    if load_batch is not None:
+        try:
+            return load_batch(indices)
+        except Exception:
+            pass
+    items = _load_many(dataset, indices, workers)
+    cols = list(zip(*items))
+    return tuple(
+        np.stack(c) if isinstance(c[0], np.ndarray) else np.asarray(c)
+        for c in cols
+    )
 
 
 def batches(
@@ -190,14 +236,7 @@ def batches(
                 if stop.is_set():
                     return
                 chunk = order[s:s + batch_size]
-                items = _load_many(dataset, chunk, workers)
-                cols = list(zip(*items))
-                out = tuple(
-                    np.stack(c) if isinstance(c[0], np.ndarray)
-                    else np.asarray(c)
-                    for c in cols
-                )
-                q.put(out)
+                q.put(_load_chunk(dataset, chunk, workers))
             epoch += 1
         q.put(None)
 

@@ -1,0 +1,194 @@
+"""Pallas TPU kernel: fused elementwise stage of the random-mix distortion.
+
+The unified trainer's on-device batch generation (ref:14:31-64,
+tsr_tpu.ops.distortions.apply_random_distortions) is an elementwise chain —
+fog blend, Gaussian noise, uint8 round-trips — plus one blur convolution.
+The jnp version materializes several full-image intermediates in HBM and
+draws noise with threefry (many ALU ops per sample). This kernel fuses the
+whole elementwise prologue into one VMEM pass per tile with the on-chip
+PRNG (``pltpu.prng_random_bits`` + Box-Muller), emitting both tensors the
+blur stage needs:
+
+  f_noblur   — float01 image after fog/noise gates (the no-blur branch)
+  pre_blur   — ``trunc(clip(f*255))`` uint8-space float (blur conv input,
+               ref:14:52)
+
+The blur itself stays on the MXU (grouped conv in tsr_tpu.ops.blur), and the
+cheap final select/cast stays in XLA. Numerical parity with the jnp
+reference path is exact for fog/gates/casts; the noise stream differs (TPU
+PRNG vs threefry) but is distribution-identical — verified by tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# per-program tile: rows x lanes over the flattened pixel stream
+_LANES = 1024   # 8 x 128
+_ROWS = 16      # sublane-multiple
+
+
+def _uniform01(bits):
+    """uint32 -> float32 in [0, 1): set mantissa, subtract 1."""
+    mant = jnp.right_shift(bits, jnp.uint32(9)) | jnp.uint32(0x3F800000)
+    return pltpu.bitcast(mant, jnp.float32) - 1.0
+
+
+def _normal(shape):
+    """Standard normal via Box-Muller from the seeded on-chip PRNG."""
+    u1 = _uniform01(pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                  jnp.uint32))
+    u2 = _uniform01(pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                  jnp.uint32))
+    r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
+    return r * jnp.cos((2.0 * math.pi) * u2)
+
+
+def _kernel(seed_ref, gate_fog_ref, t_ref, atmos_ref, gate_noise_ref,
+            sigma_ref, clean_ref, f_ref, pre_ref):
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + b * pl.num_programs(1) + c)
+
+    # Mosaic can't cast uint8->f32 directly; hop through int32
+    x = clean_ref[...].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+
+    # fog blend (per-sample scalar params)
+    t = t_ref[b]
+    fogged = x * t + atmos_ref[0] * (1.0 - t)
+    x = jnp.where(gate_fog_ref[b] != 0, fogged, x)
+
+    # additive Gaussian noise
+    noise = sigma_ref[b] * _normal(x.shape)
+    x = jnp.where(gate_noise_ref[b] != 0, x + noise, x)
+
+    f_ref[...] = x
+    # pre-blur uint8 round-trip (ref:14:52): snap near-integers like
+    # image_ops.scale255, then trunc+clip
+    s = x * 255.0
+    r = jnp.rint(s)
+    s = jnp.where(jnp.abs(s - r) <= 1e-3, r, s)
+    pre_ref[...] = jnp.clip(jnp.trunc(s), 0.0, 255.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_fog_noise(clean_u8, seed, gate_fog, t, gate_noise, sigma,
+                    atmosphere=0.9, interpret: bool = False):
+    """Run the fused fog+noise prologue.
+
+    Args:
+      clean_u8: uint8 [B, H, W, C].
+      seed: int32 scalar.
+      gate_fog / gate_noise: int32 [B] (0/1).
+      t: float32 [B] fog transmission.
+      sigma: float32 [B] noise stddev.
+
+    Returns:
+      (f_noblur float32 [B,H,W,C] in [0,1]-ish, pre_blur float32 [B,H,W,C]
+      holding integral uint8 values).
+    """
+    b, h, w, c = clean_u8.shape
+    flat = h * w * c
+    tile = _ROWS * _LANES
+    pad = (-flat) % tile
+    xf = clean_u8.reshape(b, flat)
+    if pad:
+        xf = jnp.pad(xf, ((0, 0), (0, pad)))
+    rows = xf.shape[1] // _LANES
+    xf = xf.reshape(b, rows, _LANES)
+    n_chunks = rows // _ROWS
+
+    args = (
+        jnp.asarray([seed], jnp.int32),
+        jnp.asarray(gate_fog, jnp.int32),
+        jnp.asarray(t, jnp.float32),
+        jnp.asarray([atmosphere], jnp.float32),
+        jnp.asarray(gate_noise, jnp.int32),
+        jnp.asarray(sigma, jnp.float32),
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, _ROWS, _LANES), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _ROWS, _LANES), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _ROWS, _LANES), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    f, pre = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(xf.shape, jnp.float32),
+            jax.ShapeDtypeStruct(xf.shape, jnp.float32),
+        ],
+        # the TPU-semantics interpreter (not the generic HLO one) supports
+        # pltpu.prng_* on CPU, so tests can run without hardware
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(*args, xf)
+    f = f.reshape(b, rows * _LANES)
+    pre = pre.reshape(b, rows * _LANES)
+    if pad:
+        f = f[:, :flat]
+        pre = pre[:, :flat]
+    return f.reshape(b, h, w, c), pre.reshape(b, h, w, c)
+
+
+def apply_random_distortions_pallas(images_u8, key, cfg=None,
+                                    interpret: bool = False):
+    """Drop-in (distribution-equivalent) Pallas-accelerated version of
+    ops.distortions.apply_random_distortions: fused fog+noise prologue +
+    MXU grouped-conv blur + XLA epilogue.
+
+    Gate/parameter draws use jax.random with the same split layout as the
+    reference implementation; only the dense noise field comes from the
+    on-chip PRNG.
+    """
+    from tsr_tpu import configs
+    from tsr_tpu.ops import blur as blur_ops
+    from tsr_tpu.ops import distortions, image as image_ops
+
+    cfg = cfg or configs.RandomMixConfig()
+    images_u8 = jnp.asarray(images_u8)
+    b = images_u8.shape[0]
+    keys = jax.random.split(key, 8)
+
+    gate_fog = jax.random.uniform(keys[0], (b,)) < cfg.prob_fog
+    intensity = jax.random.uniform(keys[1], (b,), jnp.float32,
+                                   *cfg.fog_intensity)
+    t = 1.0 - intensity * jax.random.uniform(keys[2], (b,), jnp.float32,
+                                             *cfg.fog_t_jitter)
+    gate_noise = jax.random.uniform(keys[3], (b,)) < cfg.prob_noise
+    var = jax.random.uniform(keys[4], (b,), jnp.float32, *cfg.noise_var)
+    seed = jax.random.randint(keys[5], (), 0, 2**31 - 1)
+    gate_blur = jax.random.uniform(keys[6], (b,)) < cfg.prob_blur
+    kb = jax.random.split(keys[7], 2)
+    degrees = jax.random.randint(kb[0], (b,), cfg.blur_degree[0],
+                                 cfg.blur_degree[1] + 1)
+    angles = jax.random.randint(kb[1], (b,), cfg.blur_angle[0],
+                                cfg.blur_angle[1] + 1).astype(jnp.float32)
+
+    f, pre_blur = fused_fog_noise(
+        images_u8, seed, gate_fog.astype(jnp.int32), t,
+        gate_noise.astype(jnp.int32), jnp.sqrt(var),
+        atmosphere=cfg.fog_atmosphere, interpret=interpret)
+
+    kernels = blur_ops.motion_blur_kernels(
+        degrees, angles, max_degree=distortions.MAX_BLUR_DEGREE)
+    blurred = blur_ops.filter2d(pre_blur, kernels)
+    blurred_u8f = jnp.asarray(
+        image_ops.saturate_uint8(blurred, round=True), jnp.float32)
+    f = jnp.where(gate_blur[:, None, None, None], blurred_u8f / 255.0, f)
+    return image_ops.clip01_to_uint8(f)

@@ -1,0 +1,216 @@
+// tsrio — native data-loading tier: PPM(P6)/BMP decode + bilinear resize +
+// threaded batch assembly.
+//
+// The reference's data layer is torchvision ImageFolder + PIL decode inside
+// DataLoader worker processes (ref:05:32-40, 07:126-137). GTSRB ships as
+// P6 .ppm files, which need no external codec; this library decodes and
+// resizes them straight into a caller-provided uint8 NHWC batch buffer
+// using a std::thread pool, removing Python/PIL/cv2 from the hot path.
+//
+// Exposed C ABI (used via ctypes from tsr_tpu.native):
+//   tsrio_load_batch(paths, n, size, out, threads) -> images loaded
+//     paths: '\n'-joined file paths; out: uint8[n, size, size, 3]
+//     Failed decodes leave their slot zeroed and are counted out.
+//
+// Resize matches cv2.INTER_LINEAR (half-pixel centers, clamped edges).
+
+#include <atomic>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Image {
+  int w = 0, h = 0;
+  std::vector<uint8_t> rgb;  // HWC
+};
+
+bool read_file(const char* path, std::vector<uint8_t>& buf) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (n <= 0) { std::fclose(f); return false; }
+  buf.resize(static_cast<size_t>(n));
+  size_t got = std::fread(buf.data(), 1, buf.size(), f);
+  std::fclose(f);
+  return got == buf.size();
+}
+
+// --- PPM (P6, 8-bit) ---
+bool decode_ppm(const std::vector<uint8_t>& buf, Image& img) {
+  if (buf.size() < 10 || buf[0] != 'P' || buf[1] != '6') return false;
+  size_t pos = 2;
+  auto next_int = [&](int& out) -> bool {
+    // skip whitespace + comments
+    while (pos < buf.size()) {
+      if (std::isspace(buf[pos])) { pos++; continue; }
+      if (buf[pos] == '#') {
+        while (pos < buf.size() && buf[pos] != '\n') pos++;
+        continue;
+      }
+      break;
+    }
+    if (pos >= buf.size() || !std::isdigit(buf[pos])) return false;
+    long v = 0;
+    while (pos < buf.size() && std::isdigit(buf[pos])) {
+      v = v * 10 + (buf[pos] - '0');
+      pos++;
+    }
+    out = static_cast<int>(v);
+    return true;
+  };
+  int w, h, maxv;
+  if (!next_int(w) || !next_int(h) || !next_int(maxv)) return false;
+  if (maxv != 255 || w <= 0 || h <= 0) return false;
+  pos++;  // single whitespace after maxval
+  size_t need = static_cast<size_t>(w) * h * 3;
+  if (buf.size() - pos < need) return false;
+  img.w = w;
+  img.h = h;
+  img.rgb.assign(buf.begin() + pos, buf.begin() + pos + need);
+  return true;
+}
+
+// --- BMP (24/32-bit uncompressed, bottom-up or top-down) ---
+bool decode_bmp(const std::vector<uint8_t>& buf, Image& img) {
+  if (buf.size() < 54 || buf[0] != 'B' || buf[1] != 'M') return false;
+  auto rd32 = [&](size_t o) {
+    return static_cast<int32_t>(buf[o] | (buf[o + 1] << 8) |
+                                (buf[o + 2] << 16) | (buf[o + 3] << 24));
+  };
+  auto rd16 = [&](size_t o) { return buf[o] | (buf[o + 1] << 8); };
+  int32_t data_off = rd32(10);
+  int32_t w = rd32(18), h_raw = rd32(22);
+  int bpp = rd16(28);
+  int32_t comp = rd32(30);
+  if (comp != 0 || (bpp != 24 && bpp != 32) || w <= 0) return false;
+  bool bottom_up = h_raw > 0;
+  int h = bottom_up ? h_raw : -h_raw;
+  int stride = ((w * (bpp / 8)) + 3) & ~3;
+  if (buf.size() < static_cast<size_t>(data_off) +
+                       static_cast<size_t>(stride) * h)
+    return false;
+  img.w = w;
+  img.h = h;
+  img.rgb.resize(static_cast<size_t>(w) * h * 3);
+  for (int y = 0; y < h; y++) {
+    int sy = bottom_up ? (h - 1 - y) : y;
+    const uint8_t* row = buf.data() + data_off + sy * stride;
+    uint8_t* out = img.rgb.data() + static_cast<size_t>(y) * w * 3;
+    for (int x = 0; x < w; x++) {
+      const uint8_t* px = row + x * (bpp / 8);
+      out[x * 3 + 0] = px[2];  // BGR -> RGB
+      out[x * 3 + 1] = px[1];
+      out[x * 3 + 2] = px[0];
+    }
+  }
+  return true;
+}
+
+// cv2.INTER_LINEAR-compatible bilinear resize (half-pixel centers).
+void resize_bilinear(const Image& src, int size, uint8_t* dst) {
+  const float sx = static_cast<float>(src.w) / size;
+  const float sy = static_cast<float>(src.h) / size;
+  for (int y = 0; y < size; y++) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = static_cast<int>(std::floor(fy));
+    float wy = fy - y0;
+    int y0c = y0 < 0 ? 0 : (y0 >= src.h ? src.h - 1 : y0);
+    int y1c = y0 + 1 < 0 ? 0 : (y0 + 1 >= src.h ? src.h - 1 : y0 + 1);
+    const uint8_t* r0 = src.rgb.data() + static_cast<size_t>(y0c) * src.w * 3;
+    const uint8_t* r1 = src.rgb.data() + static_cast<size_t>(y1c) * src.w * 3;
+    uint8_t* out = dst + static_cast<size_t>(y) * size * 3;
+    for (int x = 0; x < size; x++) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = static_cast<int>(std::floor(fx));
+      float wx = fx - x0;
+      int x0c = x0 < 0 ? 0 : (x0 >= src.w ? src.w - 1 : x0);
+      int x1c = x0 + 1 < 0 ? 0 : (x0 + 1 >= src.w ? src.w - 1 : x0 + 1);
+      for (int c = 0; c < 3; c++) {
+        float v = (1 - wy) * ((1 - wx) * r0[x0c * 3 + c] +
+                              wx * r0[x1c * 3 + c]) +
+                  wy * ((1 - wx) * r1[x0c * 3 + c] +
+                        wx * r1[x1c * 3 + c]);
+        out[x * 3 + c] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+}
+
+bool load_one(const char* path, int size, uint8_t* out) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, buf)) return false;
+  Image img;
+  if (!decode_ppm(buf, img) && !decode_bmp(buf, img)) return false;
+  resize_bilinear(img, size, out);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of successfully loaded images.
+int tsrio_load_batch(const char* joined_paths, int n, int size,
+                     uint8_t* out, int threads) {
+  // split paths
+  std::vector<std::string> paths;
+  paths.reserve(n);
+  const char* p = joined_paths;
+  for (int i = 0; i < n; i++) {
+    const char* nl = std::strchr(p, '\n');
+    if (!nl) {
+      paths.emplace_back(p);
+      break;
+    }
+    paths.emplace_back(p, nl - p);
+    p = nl + 1;
+  }
+  const size_t per = static_cast<size_t>(size) * size * 3;
+  std::atomic<int> next(0), ok(0);
+  auto work = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= static_cast<int>(paths.size())) break;
+      uint8_t* dst = out + per * i;
+      if (load_one(paths[i].c_str(), size, dst)) {
+        ok.fetch_add(1);
+      } else {
+        std::memset(dst, 0, per);
+      }
+    }
+  };
+  if (threads <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < threads; t++) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  return ok.load();
+}
+
+// Decode a single image without resize; returns 1 on success and writes
+// (w, h) to dims. Caller passes a buffer of cap bytes; fails if too small.
+int tsrio_decode(const char* path, uint8_t* out, long cap, int* dims) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, buf)) return 0;
+  Image img;
+  if (!decode_ppm(buf, img) && !decode_bmp(buf, img)) return 0;
+  long need = static_cast<long>(img.rgb.size());
+  if (need > cap) return 0;
+  std::memcpy(out, img.rgb.data(), img.rgb.size());
+  dims[0] = img.w;
+  dims[1] = img.h;
+  return 1;
+}
+
+}  // extern "C"

@@ -14,6 +14,7 @@ Both run the whole batch through jitted graphs — no per-image loops.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -29,7 +30,10 @@ RESTORATION_ORDER = ("noise", "fog", "blur")
 DISTORTION_ORDER = ("blur", "fog", "noise")
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
 def _judge_confidence(judge_apply, judge_vars, x01):
+    """Jitted: eager execution through a PJRT relay pays a round-trip per
+    op, so every hot path in this module is a single compiled graph."""
     logits = judge_apply(
         judge_vars, image_ops.imagenet_normalize(x01), train=False)
     probs = jax.nn.softmax(logits, -1)
