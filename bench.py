@@ -32,8 +32,8 @@ def main():
     profiling.enable_compilation_cache()
 
     size = int(os.environ.get("TSR_BENCH_SIZE", "224"))
-    batch = int(os.environ.get("TSR_BENCH_BATCH", "64"))
-    chunks = int(os.environ.get("TSR_BENCH_CHUNKS", "8"))
+    batch = int(os.environ.get("TSR_BENCH_BATCH", "256"))
+    chunks = int(os.environ.get("TSR_BENCH_CHUNKS", "4"))
     reps = int(os.environ.get("TSR_BENCH_REPS", "3"))
     dtype = jnp.bfloat16
 

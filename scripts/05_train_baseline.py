@@ -28,6 +28,8 @@ def main():
     p.add_argument("--init-pth", default=None,
                    help="torchvision-format VGG16 .pth to start from")
     p.add_argument("--save", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --save (params+opt state+step)")
     p.add_argument("--workers", type=int, default=8)
     args = p.parse_args()
     args.save = args.save or judge_ckpt_path(args)
@@ -49,6 +51,11 @@ def main():
                                         num_classes=len(ds.classes))
     state = common.TrainState.create(
         judge.apply, variables, common.judge_optimizer(cfg))
+    if args.resume:
+        import os
+        if os.path.exists(os.path.join(args.save, "train")):
+            state = zoo.load_train_state(args.save, state)
+            print(f"Resumed from {args.save} at step {int(state.step)}")
 
     mk = functools.partial(gtsrb.batches, ds, batch_size=cfg.batch_size,
                            workers=args.workers)

@@ -24,6 +24,7 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--distorted-dir", default=None)
     p.add_argument("--save", default=None)
+    p.add_argument("--resume", action="store_true")
     p.add_argument("--workers", type=int, default=8)
     args = p.parse_args()
     cfg = configs.RestorationTrainConfig(
@@ -42,6 +43,11 @@ def main():
     unet, variables = zoo.build_simple_unet(size=args.image_size)
     state = common.TrainState.create(
         unet.apply, variables, common.restoration_optimizer(cfg))
+    if args.resume:
+        import os
+        if os.path.exists(os.path.join(save, "train")):
+            state = zoo.load_train_state(save, state)
+            print(f"Resumed from {save} at step {int(state.step)}")
 
     step = common.make_restoration_train_step(pixel="mse")
     evalf = common.make_restoration_eval_step(pixel="mse")

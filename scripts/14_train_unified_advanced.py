@@ -44,6 +44,7 @@ def main():
     p.add_argument("--judge", default=None)
     p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--save", default=None)
+    p.add_argument("--resume", action="store_true")
     p.add_argument("--workers", type=int, default=8)
     args = p.parse_args()
     if args.judge is None:
@@ -81,6 +82,11 @@ def main():
     state = common.TrainState.create(
         resunet.apply, variables,
         common.unified_optimizer(cfg, steps_per_epoch))
+    if args.resume:
+        import os
+        if os.path.exists(os.path.join(args.save, "train")):
+            state = zoo.load_train_state(args.save, state)
+            print(f"Resumed from {args.save} at step {int(state.step)}")
 
     mk = functools.partial(gtsrb.batches, ds, batch_size=cfg.batch_size,
                            workers=args.workers)

@@ -3,11 +3,12 @@
 The unified trainer's on-device batch generation (ref:14:31-64,
 tsr_tpu.ops.distortions.apply_random_distortions) is an elementwise chain —
 fog blend, Gaussian noise, uint8 round-trips — plus one blur convolution.
-The jnp version materializes several full-image intermediates in HBM and
-draws noise with threefry (many ALU ops per sample). This kernel fuses the
-whole elementwise prologue into one VMEM pass per tile with the on-chip
-PRNG (``pltpu.prng_random_bits`` + Box-Muller), emitting both tensors the
-blur stage needs:
+This kernel fuses the elementwise prologue into one VMEM pass per tile
+with the on-chip PRNG (``pltpu.prng_random_bits`` + Box-Muller), emitting
+both tensors the blur stage needs. Measured on TPU v5e the XLA/threefry
+path is already fusion-optimal (4.1 vs 5.4 ms per 64x224 batch end-to-end
+mix), so the jnp path stays the default and this kernel is the tested
+alternative. Outputs:
 
   f_noblur   — float01 image after fog/noise gates (the no-blur branch)
   pre_blur   — ``trunc(clip(f*255))`` uint8-space float (blur conv input,

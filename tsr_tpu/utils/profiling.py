@@ -58,8 +58,10 @@ def device_time(fn: Callable, *args, reps: int = 3,
     a small leaf. Returns seconds (min or mean over reps)."""
 
     def sync(out):
+        # Fetch ONE device-side scalar: np.asarray(whole_output) would drag
+        # the full buffer through the host link and time the network.
         leaf = jax.tree.leaves(out)[0]
-        np.asarray(leaf).ravel()[:1]
+        float(leaf.ravel()[0])
 
     sync(fn(*args))  # warmup / compile
     times = []
