@@ -1,0 +1,51 @@
+#!/usr/bin/env bash
+# Full reference-equivalent pipeline at reference resolution (224) on a
+# 43-class synthetic GTSRB stand-in. Produces RESULTS artifacts under
+# $WORKDIR and prints every report. Expected wall-clock: ~2h on one v5e
+# chip (dominated by first-time compiles through the TPU tunnel).
+set -e
+WORKDIR=${WORKDIR:-/tmp/tsr_demo}
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+CLEAN=$WORKDIR/data/gtsrb/Training
+CKPT=$WORKDIR/ckpt
+EPOCHS_JUDGE=${EPOCHS_JUDGE:-8}
+EPOCHS_REST=${EPOCHS_REST:-6}
+EPOCHS_UNI=${EPOCHS_UNI:-8}
+ARGS="--clean-dir $CLEAN --image-size 224 --ckpt-dir $CKPT"
+
+mkdir -p $WORKDIR && cd $WORKDIR
+echo "=== [1/18] data ==="
+python $REPO/scripts/01_download_data.py $ARGS --synthetic \
+  --synthetic-classes 43 --synthetic-per-class 120
+echo "=== [2-4,16] offline distorted trees ==="
+python $REPO/scripts/02_gen_noise.py $ARGS
+python $REPO/scripts/03_gen_blur.py $ARGS
+python $REPO/scripts/04_gen_fog.py $ARGS
+python $REPO/scripts/16_gen_compound_data.py $ARGS
+echo "=== [5] judge ==="
+python $REPO/scripts/05_train_baseline.py $ARGS --batchnorm \
+  --epochs $EPOCHS_JUDGE --batch-size 64
+echo "=== [6] baseline eval ==="
+python $REPO/scripts/06_test_baseline.py $ARGS
+echo "=== [7] specialized restorers ==="
+python $REPO/scripts/07_train_restoration.py $ARGS --task noise --epochs $EPOCHS_REST
+python $REPO/scripts/07_train_restoration.py $ARGS --task fog --epochs $EPOCHS_REST
+python $REPO/scripts/07_train_restoration_advanced.py $ARGS --task blur --epochs $EPOCHS_REST
+echo "=== [8] restore + PSNR/SSIM ==="
+python $REPO/scripts/08_run_inference.py $ARGS
+echo "=== [9] restoration eval ==="
+python $REPO/scripts/09_test_baseline.py $ARGS
+echo "=== [14] unified ResUNet ==="
+python $REPO/scripts/14_train_unified_advanced.py $ARGS --epochs $EPOCHS_UNI
+echo "=== [17] unified restore ==="
+python $REPO/scripts/17_run_unified_inference.py $ARGS --metrics
+echo "=== [18] unified benchmark (fused) ==="
+python $REPO/scripts/18_test_unified_benchmark.py $ARGS --fused
+echo "=== [10-13,15,12] visualization + interpretability ==="
+python $REPO/scripts/10_visualize_result.py $ARGS
+python $REPO/scripts/11_visualize_hidden_states.py $ARGS
+python $REPO/scripts/13_pipeline_stress_test.py $ARGS --num-samples 10
+python $REPO/scripts/15_test_unified.py $ARGS
+python $REPO/scripts/12_generate_umap_pt.py $ARGS --method tsne
+echo "=== DEMO RUN COMPLETE ==="
+ls -la $WORKDIR

@@ -70,8 +70,12 @@ def load_pth(path: str) -> Dict[str, np.ndarray]:
 def save_pth(path: str, sd: Mapping[str, np.ndarray]) -> None:
     import torch
 
-    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
-               path)
+    # ascontiguousarray: converter outputs can carry negative strides
+    # (ConvTranspose kernel flips), which torch.from_numpy rejects
+    torch.save(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()},
+        path)
 
 
 def _conv_w(t):

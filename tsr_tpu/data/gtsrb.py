@@ -236,9 +236,21 @@ def batches(
                 if stop.is_set():
                     return
                 chunk = order[s:s + batch_size]
-                q.put(_load_chunk(dataset, chunk, workers))
+                item = _load_chunk(dataset, chunk, workers)
+                # bounded put that still honors early consumer exit
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
             epoch += 1
-        q.put(None)
+        while not stop.is_set():
+            try:
+                q.put(None, timeout=0.5)
+                break
+            except queue.Full:
+                continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

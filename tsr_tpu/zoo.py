@@ -62,6 +62,7 @@ def load_model(kind: str, path: Optional[str], size: int,
     If the checkpoint carries a ``config.json`` (written by
     :func:`save_checkpoint`), its architecture options override the
     arguments — so callers don't need to know how a judge was built."""
+    meta = {}
     if path and not path.endswith(".pth"):
         meta = _load_config(path)
         num_classes = meta.get("num_classes", num_classes)
@@ -73,7 +74,14 @@ def load_model(kind: str, path: Optional[str], size: int,
         m, v = build_resunet(dtype, size)
         from_pth = ckpt.resunet_from_pth
     elif kind == "vgg16":
-        m, v = build_judge(num_classes, use_batchnorm, dtype, size)
+        extra = {}
+        if "cfg" in meta:
+            extra["cfg"] = tuple(meta["cfg"])
+        if "fc_width" in meta:
+            extra["fc_width"] = meta["fc_width"]
+        m = VGG16(num_classes=num_classes, use_batchnorm=use_batchnorm,
+                  dtype=dtype, **extra)
+        v = _init(m, size, train=False, needs_train_arg=False)
         from_pth = lambda sd: ckpt.vgg16_from_pth(  # noqa: E731
             sd, num_classes=num_classes)
     else:
