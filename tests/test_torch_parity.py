@@ -98,8 +98,9 @@ class TorchResUNet(tnn.Module):
         return self.final(d1)
 
 
-def make_torch_vgg16(num_classes=43):
-    """torchvision vgg16('D') structure (ref:05:47-56), random init."""
+def make_torch_vgg16(num_classes=43, flat=512 * 7 * 7):
+    """torchvision vgg16('D') structure (ref:05:47-56), random init.
+    ``flat`` = 512 * (input_size/32)^2 for non-224 inputs."""
     cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
            512, 512, 512, "M", 512, 512, 512, "M"]
     layers = []
@@ -112,7 +113,7 @@ def make_torch_vgg16(num_classes=43):
             in_c = v
     features = tnn.Sequential(*layers)
     classifier = tnn.Sequential(
-        tnn.Linear(512 * 7 * 7, 4096), tnn.ReLU(True), tnn.Dropout(),
+        tnn.Linear(flat, 4096), tnn.ReLU(True), tnn.Dropout(),
         tnn.Linear(4096, 4096), tnn.ReLU(True), tnn.Dropout(),
         tnn.Linear(4096, num_classes))
 

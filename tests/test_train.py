@@ -110,3 +110,21 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree.leaves(state.params)[0]
     b = jax.tree.leaves(restored.params)[0]
     assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_unified_step_with_remat():
+    """jax.checkpoint (remat) variant compiles and matches the plain step's
+    loss for identical inputs."""
+    m = ResUNet(widths=(4, 8, 16), bottleneck_width=16)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)), train=True)
+    imgs, _ = synthetic.make_dataset(num_classes=4, per_class=2, size=32)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for remat in (False, True):
+        v_copy = jax.tree.map(jnp.array, v)
+        state = common.TrainState.create(m.apply, v_copy, optax.adamw(1e-3))
+        step = common.make_unified_train_step(
+            configs.RandomMixConfig(), remat=remat)
+        state, aux = step(state, imgs, key)
+        losses.append(float(aux["loss"]))
+    assert np.isclose(losses[0], losses[1], rtol=1e-5), losses
