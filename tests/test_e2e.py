@@ -111,3 +111,22 @@ def test_embeddings_pt_schema(tmp_path):
     assert loaded["embeddings"].shape == (10, 2)
     assert loaded["labels"] == labels
     assert loaded["original_features"].shape == (10, 512)
+
+
+def test_profiler_trace_and_throughput(tmp_path):
+    from tsr_tpu.utils import profiling, reporting
+
+    logdir = str(tmp_path / "trace")
+    with profiling.trace(logdir):
+        _ = jnp.sum(jnp.ones((64, 64)) * 2.0)
+    import os
+    assert any(os.scandir(logdir))  # trace files written
+
+    f = jax.jit(lambda x: x * 2.0)
+    dt = profiling.device_time(f, jnp.ones((128, 128)), reps=2)
+    assert dt > 0
+
+    th = reporting.Throughput(warmup_batches=1)
+    for _ in range(3):
+        th.tick(32)
+    assert th.images_per_sec > 0

@@ -46,10 +46,16 @@ def build_judge(num_classes: int = configs.NUM_CLASSES,
 
 
 def load_variables(path: str, template_variables):
-    """Load model variables from ``<path>`` (orbax dir) or ``*.pth``."""
+    """Load model variables from ``<path>`` (orbax dir) or ``*.pth``.
+
+    Restored trees are ``device_put`` immediately: orbax returns host
+    numpy, and passing host arrays into a jitted step re-uploads the whole
+    weight set on EVERY call (hundreds of MB for VGG16 — catastrophic
+    through a remote-TPU relay, which also retains each upload)."""
     if path.endswith(".pth"):
         raise ValueError("use the model-specific *_from_pth loader")
-    return ckpt.restore_train_state(path, dict(template_variables))
+    restored = ckpt.restore_train_state(path, dict(template_variables))
+    return jax.device_put(restored)
 
 
 def load_model(kind: str, path: Optional[str], size: int,
@@ -88,7 +94,7 @@ def load_model(kind: str, path: Optional[str], size: int,
         raise ValueError(kind)
     if path:
         if path.endswith(".pth"):
-            v = from_pth(ckpt.load_pth(path))
+            v = jax.device_put(dict(from_pth(ckpt.load_pth(path))))
         else:
             v = load_variables(_model_path(path), v)
     return m, v
@@ -137,4 +143,4 @@ def load_train_state(base_path: str, template_state):
     tree = ckpt.restore_train_state(
         os.path.join(base_path, "train"),
         loops.state_to_tree(template_state))
-    return loops.tree_to_state(tree, template_state)
+    return loops.tree_to_state(jax.device_put(tree), template_state)
