@@ -142,6 +142,13 @@ def make_restoration_train_step(pixel: str = "mse",
     (ref:07adv:150-154)."""
 
     def step(state: TrainState, bad01, clean01):
+        # accept uint8 batches and convert on device: feeding pre-converted
+        # float32 from host quadruples the host->device bytes
+        bad01 = image_ops.to_float01(bad01) if bad01.dtype == jnp.uint8 \
+            else bad01
+        clean01 = (image_ops.to_float01(clean01)
+                   if clean01.dtype == jnp.uint8 else clean01)
+
         def loss_fn(params):
             pred = state.apply_fn({"params": params}, bad01)
             perc = None
@@ -215,6 +222,10 @@ def make_restoration_eval_step(pixel: str = "mse",
     """Validation loss step (ref:07:166-173, ref:14:255-260)."""
 
     def step(state: TrainState, bad01, clean01):
+        bad01 = image_ops.to_float01(bad01) if bad01.dtype == jnp.uint8 \
+            else bad01
+        clean01 = (image_ops.to_float01(clean01)
+                   if clean01.dtype == jnp.uint8 else clean01)
         variables = state.variables
         if state.batch_stats is not None:
             pred = state.apply_fn(variables, bad01, train=False)

@@ -86,12 +86,16 @@ def train_restorer(
     checkpoint_every: int = 0,
     save_best: bool = False,
     log: Callable[[str], None] = print,
-    batch_to_float: bool = True,
+    batch_to_float: bool = False,
     ckpt_config: Optional[dict] = None,
 ):
     """Shared restorer loop for the specialized/advanced paths (ref:07
     trains on precomputed (bad, clean) pairs, saving every N epochs;
-    ref:14-style best-val saving via ``save_best``)."""
+    ref:14-style best-val saving via ``save_best``).
+
+    Batches are fed as uint8 and converted on device (the steps handle
+    both dtypes); ``batch_to_float=True`` keeps the old host-side
+    conversion (4x the host->device bytes)."""
     best_loss = float("inf")
     for epoch in range(epochs):
         t0 = time.perf_counter()
