@@ -13,7 +13,6 @@ benchmarks/torch_cpu_baseline.py (reference runs batch-restore ref:17:73-99
 then judge eval ref:06:49-55 at 224x224).
 """
 
-import functools
 import json
 import os
 import time

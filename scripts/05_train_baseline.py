@@ -9,7 +9,6 @@ torchvision-format .pth if you have one.
 
 import functools
 
-import optax
 
 from _common import base_parser, ensure_clean_tree, judge_ckpt_path
 

@@ -5,7 +5,6 @@ import random
 from pathlib import Path
 
 import jax
-import numpy as np
 
 from _common import (base_parser, ensure_clean_tree, judge_ckpt_path,
                      unified_ckpt_path)

@@ -18,8 +18,7 @@ PSNR/SSIM metrics (ref:08:111-135) are computed on-device as well.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Iterable, Optional, Tuple
+from typing import Callable, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp

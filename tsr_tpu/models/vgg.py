@@ -20,7 +20,7 @@ deviation (SURVEY.md §7 step 2). The ``.pth`` converter in
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -17,9 +17,8 @@ of per shape.
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List, Tuple
 
 import jax
 import numpy as np

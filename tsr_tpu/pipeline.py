@@ -15,7 +15,7 @@ Both run the whole batch through jitted graphs — no per-image loops.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

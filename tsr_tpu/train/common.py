@@ -9,8 +9,7 @@ over a :class:`TrainState`; the loops themselves live in
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,9 +17,7 @@ import numpy as np
 
 from tsr_tpu import checkpoint as ckpt  # noqa: F401 (re-export for tests)
 from tsr_tpu import configs
-from tsr_tpu.ops import image as image_ops
 from tsr_tpu.train import common
-from tsr_tpu.utils import reporting
 
 
 def _epoch_mean(vals):
