@@ -1,8 +1,8 @@
 """GAP embeddings over 7 modes + 2-D projection export (ref:12).
 
 Samples N same-named images per mode, extracts VGG features.30 -> GAP 512-d
-vectors, projects to 2-D (TSNE(cosine) substituting for UMAP offline —
-documented deviation), and saves the reference-schema dict
+vectors, projects to 2-D with the in-house UMAP (tsr_tpu.umap_lite; reference
+parameters, ref:12:131-139), and saves the reference-schema dict
 {embeddings, labels, original_features} to umap_embeddings.pt plus a
 scatter figure."""
 
@@ -23,7 +23,8 @@ def main():
     p.add_argument("--model", default=None)
     p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--samples-per-mode", type=int, default=100)
-    p.add_argument("--method", default="tsne", choices=["tsne", "pca"])
+    p.add_argument("--method", default="umap",
+                   choices=["umap", "tsne", "pca"])
     p.add_argument("--out-pt", default="umap_embeddings.pt")
     p.add_argument("--out-img", default="umap_visualization.png")
     args = p.parse_args()

@@ -11,10 +11,11 @@ Covers the reference's interpretability arm:
   ``embeddings [N,2]``, ``labels`` (list of mode names), and
   ``original_features [N,512]`` (ref:12:145-150).
 
-Deviation note: umap-learn is unavailable offline, so ``project_2d``
-implements the projection with sklearn (TSNE with cosine metric — the
-closest available neighbor-embedding to UMAP(metric='cosine') — or PCA).
-The export schema is unchanged.
+``project_2d(method="umap")`` (the default, matching ref:12) runs the
+in-house UMAP in :mod:`tsr_tpu.umap_lite` — fuzzy simplicial set +
+negative-sampling SGD layout with the reference's parameters
+(n_neighbors=15, min_dist=0.1, metric='cosine', random_state=42).
+TSNE(cosine) and PCA remain as fallbacks. The export schema is unchanged.
 """
 
 from __future__ import annotations
@@ -58,14 +59,21 @@ def gap_features(features_nhwc) -> np.ndarray:
     return np.asarray(jnp.mean(jnp.asarray(features_nhwc), axis=(1, 2)))
 
 
-def project_2d(features: np.ndarray, method: str = "tsne",
+def project_2d(features: np.ndarray, method: str = "umap",
                seed: int = 42) -> np.ndarray:
     """2-D embedding of [N,D] features.
 
-    ``tsne``: sklearn TSNE(metric='cosine') — substitute for the
-    reference's UMAP(n_neighbors=15, min_dist=0.1, metric='cosine',
-    random_state=42) (ref:12:131-139). ``pca``: fast linear fallback.
+    ``umap`` (default): in-house UMAP with the reference's parameters
+    — UMAP(n_neighbors=15, min_dist=0.1, metric='cosine',
+    random_state=42) (ref:12:131-139). ``tsne``: sklearn TSNE(cosine)
+    fallback. ``pca``: fast linear fallback.
     """
+    if method == "umap":
+        from tsr_tpu.umap_lite import umap_embed
+
+        return umap_embed(features, n_neighbors=15, min_dist=0.1,
+                          n_components=2, metric="cosine",
+                          random_state=seed)
     if method == "pca":
         from sklearn.decomposition import PCA
 
