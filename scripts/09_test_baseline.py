@@ -1,7 +1,11 @@
-"""Judge accuracy over clean + 3 distorted + 3 restored trees (ref:09)."""
+"""Judge accuracy over clean + 3 distorted + 3 restored trees (ref:09),
+plus a fully-fused on-device variant: with ``--fused``, each task's
+Restored row restores the Distorted tree inside the eval graph with the
+specialized SimpleUNet checkpoint — no ``data/restored`` disk round-trip
+(the reference re-reads restored PNGs, ref:09:15-26)."""
 
 from _common import (PROCESSED, RESTORED, base_parser, ensure_clean_tree,
-                     judge_ckpt_path)
+                     judge_ckpt_path, restorer_ckpt_path)
 
 from tsr_tpu import eval as tsr_eval
 from tsr_tpu import zoo
@@ -13,6 +17,10 @@ def main():
     p.add_argument("--model", default=None)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--num-classes", type=int, default=None)
+    p.add_argument("--fused", action="store_true",
+                   help="restore on the fly inside the eval graph from "
+                        "the specialized checkpoints instead of reading "
+                        "data/restored from disk")
     args = p.parse_args()
     args.model = args.model or judge_ckpt_path(args)
     clean = ensure_clean_tree(args)
@@ -23,20 +31,33 @@ def main():
     ncls = args.num_classes or len(gtsrb.ImageFolder(clean).classes)
     judge, jv = zoo.load_model("vgg16", args.model, args.image_size,
                                num_classes=ncls)
-    test_dirs = {"Clean (Original)": clean}
-    for task in ("Noise", "Blur", "Fog"):
-        test_dirs[f"{task} (Distorted)"] = f"{PROCESSED}/{task}"
-        test_dirs[f"{task} (Restored)"] = f"{RESTORED}/{task}"
-    results = {}
-    for name, path in test_dirs.items():
+
+    def score(name, path, **kw):
         if not os.path.exists(path):
             print(f"Skipping {name}: {path} not found")
-            continue
+            return
         r = tsr_eval.evaluate_directory(
             judge.apply, jv, path, batch_size=args.batch_size,
-            size=args.image_size)
+            size=args.image_size, **kw)
         results[name] = r["top1"]
         print(f"Result [{name}] Accuracy: {r['top1'] * 100:.2f}%")
+
+    results = {}
+    score("Clean (Original)", clean)
+    for task in ("Noise", "Blur", "Fog"):
+        score(f"{task} (Distorted)", f"{PROCESSED}/{task}")
+        if args.fused:
+            ckpt = restorer_ckpt_path(task, args)
+            if not os.path.exists(ckpt):
+                print(f"Skipping {task} (Restored, fused): {ckpt} "
+                      "not found")
+                continue
+            unet, uv = zoo.load_model("simple_unet", ckpt,
+                                      args.image_size)
+            score(f"{task} (Restored, fused)", f"{PROCESSED}/{task}",
+                  restorer_apply=unet.apply, restorer_vars=uv)
+        else:
+            score(f"{task} (Restored)", f"{RESTORED}/{task}")
     print(reporting.accuracy_report(
         results, "Final Test Report (Restoration)"))
 

@@ -55,10 +55,20 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default=os.environ.get(
         "TSR_CKPT_DIR", CKPT_DIR))
+    p.add_argument("--resize-backend", default="cv2",
+                   choices=["cv2", "pil"],
+                   help="host decode-resize backend; 'pil' gives bit "
+                        "parity with the reference's torchvision "
+                        "Resize (matters only for >image-size sources; "
+                        "see PARITY.md 'Resize parity')")
     return p
 
 
 def ensure_clean_tree(args) -> str:
+    if getattr(args, "resize_backend", "cv2") != "cv2":
+        from tsr_tpu.data import gtsrb
+
+        gtsrb.set_resize_backend(args.resize_backend)
     if not Path(args.clean_dir).exists():
         if args.synthetic:
             from tsr_tpu.data import synthetic

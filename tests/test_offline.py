@@ -72,3 +72,32 @@ def test_image_folder_and_batches(clean_tree):
     assert n == 6
     imgs, labels = batches[0]
     assert imgs.shape[1:] == (32, 32, 3) and imgs.dtype == np.uint8
+
+
+def test_pil_resize_backend(tmp_path):
+    """--resize-backend pil gives exact PIL BILINEAR output (the
+    reference's torchvision Resize semantics) and restores cleanly."""
+    import cv2
+    import numpy as np
+    from PIL import Image
+
+    from tsr_tpu.data import gtsrb
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (250, 250, 3), np.uint8)
+    p = tmp_path / "c" / "x.ppm"
+    p.parent.mkdir()
+    cv2.imwrite(str(p), img[:, :, ::-1])
+    try:
+        gtsrb.set_resize_backend("pil")
+        got = gtsrb._decode_resize(str(p), 224)
+        want = np.asarray(Image.fromarray(img).resize((224, 224),
+                                                      Image.BILINEAR))
+        np.testing.assert_array_equal(got, want)
+        batch = gtsrb._decode_resize_batch([str(p)], 224)
+        np.testing.assert_array_equal(batch[0], want)
+    finally:
+        gtsrb.set_resize_backend("cv2")
+    got_cv2 = gtsrb._decode_resize(str(p), 224)
+    # Downscale: the two backends genuinely differ (PIL antialiases).
+    assert np.abs(got_cv2.astype(int) - want.astype(int)).max() > 1

@@ -67,6 +67,23 @@ def download_gtsrb(root: str = "./data") -> str:
     return str(target)
 
 
+# Host resize backend: "cv2" (INTER_LINEAR, default — matches the native
+# C++ loader) or "pil" (PIL BILINEAR — bit-parity with the reference's
+# torchvision transforms.Resize, ref:05:24-29, 07:124-126). Measured delta
+# (PARITY.md "Resize parity"): identical within 1 LSB on upscales (GTSRB is
+# mostly 30-60px -> 224), but PIL antialiases on DOWNSCALE where cv2
+# INTER_LINEAR does not (250->224: max delta 33, 13% of pixels >1 LSB) —
+# parity runs on trees containing >224px sources should set "pil".
+RESIZE_BACKEND = "cv2"
+
+
+def set_resize_backend(backend: str) -> None:
+    if backend not in ("cv2", "pil"):
+        raise ValueError(f"unknown resize backend {backend!r}")
+    global RESIZE_BACKEND
+    RESIZE_BACKEND = backend
+
+
 def _decode_resize(path: str, size: int) -> np.ndarray:
     import cv2
 
@@ -77,6 +94,12 @@ def _decode_resize(path: str, size: int) -> np.ndarray:
 
         pil = Image.open(path).convert("RGB")
         img = np.asarray(pil)[:, :, ::-1]
+    if RESIZE_BACKEND == "pil":
+        from PIL import Image
+
+        rgb = np.ascontiguousarray(img[:, :, ::-1])
+        return np.asarray(
+            Image.fromarray(rgb).resize((size, size), Image.BILINEAR))
     img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
     return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
 
@@ -87,8 +110,10 @@ _NATIVE_EXTS = (".ppm", ".bmp")
 def _decode_resize_batch(paths: Sequence[str], size: int,
                          threads: int = 8) -> np.ndarray:
     """Batch decode+resize; uses the native C++ loader (tsr_tpu.native)
-    for PPM/BMP trees — the GTSRB hot path — and cv2 otherwise."""
-    if paths and all(p.lower().endswith(_NATIVE_EXTS) for p in paths):
+    for PPM/BMP trees — the GTSRB hot path — and cv2 otherwise. The
+    native loader clones cv2 bilinear, so the "pil" backend bypasses it."""
+    if (RESIZE_BACKEND == "cv2" and paths
+            and all(p.lower().endswith(_NATIVE_EXTS) for p in paths)):
         try:
             from tsr_tpu import native
 
