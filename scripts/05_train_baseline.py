@@ -10,7 +10,8 @@ torchvision-format .pth if you have one.
 import functools
 
 
-from _common import base_parser, ensure_clean_tree, judge_ckpt_path
+from _common import (base_parser, ensure_clean_tree, judge_ckpt_path,
+                     mesh_from_args)
 
 from tsr_tpu import checkpoint as ckpt
 from tsr_tpu import configs, zoo
@@ -65,7 +66,8 @@ def main():
                                drop_remainder=False),
         cfg=cfg, save_path=args.save,
         ckpt_config={"kind": "vgg16", "num_classes": len(ds.classes),
-                     "use_batchnorm": args.batchnorm})
+                     "use_batchnorm": args.batchnorm},
+        mesh=mesh_from_args(args))
     print(f"Done. Checkpoint at {args.save}")
 
 

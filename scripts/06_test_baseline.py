@@ -1,6 +1,7 @@
 """Judge accuracy over {clean, noisy, blurred, foggy} trees (ref:06)."""
 
-from _common import PROCESSED, base_parser, ensure_clean_tree, judge_ckpt_path
+from _common import (PROCESSED, base_parser, ensure_clean_tree,
+                     judge_ckpt_path, mesh_from_args)
 
 from tsr_tpu import eval as tsr_eval
 from tsr_tpu import zoo
@@ -24,6 +25,7 @@ def main():
     judge, jv = zoo.load_model("vgg16", args.model, args.image_size,
                                num_classes=ncls,
                                use_batchnorm=args.batchnorm)
+    mesh = mesh_from_args(args)
     test_dirs = {
         "Clean (Original)": clean,
         "Noisy": f"{PROCESSED}/Noise",
@@ -37,7 +39,7 @@ def main():
             continue
         r = tsr_eval.evaluate_directory(
             judge.apply, jv, path, batch_size=args.batch_size,
-            size=args.image_size)
+            size=args.image_size, mesh=mesh)
         results[name] = r["top1"]
         print(f"Result [{name}] Accuracy: {r['top1'] * 100:.2f}%")
     print(reporting.accuracy_report(results, "Final Test Report (Baseline 1)"))

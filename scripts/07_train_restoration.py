@@ -8,6 +8,7 @@ task is a flag: --task noise|blur|fog.
 import functools
 
 from _common import (PROCESSED, base_parser, ensure_clean_tree,
+                     mesh_from_args,
                      restorer_ckpt_path)
 
 from tsr_tpu import configs, zoo
@@ -59,7 +60,7 @@ def main():
         val_batches=lambda: mk(indices=va_idx, shuffle=False,
                                drop_remainder=False),
         epochs=cfg.epochs, step_fn=step, eval_fn=evalf, save_path=save,
-        checkpoint_every=cfg.checkpoint_every)
+        checkpoint_every=cfg.checkpoint_every, mesh=mesh_from_args(args))
     print(f"Done. Checkpoint at {save}")
 
 

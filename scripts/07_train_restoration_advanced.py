@@ -8,6 +8,7 @@ ImageNet weights are unobtainable offline (documented deviation)."""
 import functools
 
 from _common import (PROCESSED, base_parser, ensure_clean_tree,
+                     mesh_from_args,
                      judge_ckpt_path, restorer_ckpt_path)
 
 from tsr_tpu import configs, zoo
@@ -74,7 +75,8 @@ def main():
         train_batches=lambda ep: mk(indices=tr_idx, seed=cfg.seed + ep),
         val_batches=lambda: mk(indices=va_idx, shuffle=False,
                                drop_remainder=False),
-        epochs=cfg.epochs, step_fn=step, eval_fn=evalf, save_path=save)
+        epochs=cfg.epochs, step_fn=step, eval_fn=evalf, save_path=save,
+        mesh=mesh_from_args(args))
     print(f"Done. Checkpoint at {save}")
 
 

@@ -5,7 +5,7 @@ specialized SimpleUNet checkpoint — no ``data/restored`` disk round-trip
 (the reference re-reads restored PNGs, ref:09:15-26)."""
 
 from _common import (PROCESSED, RESTORED, base_parser, ensure_clean_tree,
-                     judge_ckpt_path, restorer_ckpt_path)
+                     judge_ckpt_path, mesh_from_args, restorer_ckpt_path)
 
 from tsr_tpu import eval as tsr_eval
 from tsr_tpu import zoo
@@ -31,6 +31,7 @@ def main():
     ncls = args.num_classes or len(gtsrb.ImageFolder(clean).classes)
     judge, jv = zoo.load_model("vgg16", args.model, args.image_size,
                                num_classes=ncls)
+    mesh = mesh_from_args(args)
 
     def score(name, path, **kw):
         if not os.path.exists(path):
@@ -38,7 +39,7 @@ def main():
             return
         r = tsr_eval.evaluate_directory(
             judge.apply, jv, path, batch_size=args.batch_size,
-            size=args.image_size, **kw)
+            size=args.image_size, mesh=mesh, **kw)
         results[name] = r["top1"]
         print(f"Result [{name}] Accuracy: {r['top1'] * 100:.2f}%")
 

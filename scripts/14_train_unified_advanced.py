@@ -10,7 +10,7 @@ generation (ref:14:213)."""
 import functools
 
 from _common import (base_parser, ensure_clean_tree, judge_ckpt_path,
-                     unified_ckpt_path)
+                     mesh_from_args, unified_ckpt_path)
 
 from tsr_tpu import configs, zoo
 from tsr_tpu.data import gtsrb
@@ -95,7 +95,8 @@ def main():
         clean_batches=lambda ep: mk(indices=tr_idx, seed=cfg.seed + ep),
         val_clean_batches=lambda: mk(indices=va_idx, shuffle=False,
                                      drop_remainder=False),
-        cfg=cfg, vgg_apply=vgg_apply, save_path=args.save)
+        cfg=cfg, vgg_apply=vgg_apply, save_path=args.save,
+        mesh=mesh_from_args(args))
     print(f"Done. Checkpoint at {args.save}")
 
 

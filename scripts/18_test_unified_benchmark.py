@@ -2,7 +2,7 @@
 the fully-fused on-device variant (no restored tree on disk needed)."""
 
 from _common import (PROCESSED, RESTORED, base_parser, ensure_clean_tree,
-                     judge_ckpt_path, unified_ckpt_path)
+                     judge_ckpt_path, mesh_from_args, unified_ckpt_path)
 
 from tsr_tpu import eval as tsr_eval
 from tsr_tpu import zoo
@@ -29,6 +29,7 @@ def main():
     ncls = args.num_classes or len(gtsrb.ImageFolder(clean).classes)
     judge, jv = zoo.load_model("vgg16", args.model, args.image_size,
                                num_classes=ncls)
+    mesh = mesh_from_args(args)
 
     results = {}
     for name, path in (("Clean", clean),
@@ -47,7 +48,7 @@ def main():
                                      args.image_size)
         r = tsr_eval.evaluate_directory(
             judge.apply, jv, f"{PROCESSED}/Compound",
-            batch_size=args.batch_size, size=args.image_size,
+            batch_size=args.batch_size, size=args.image_size, mesh=mesh,
             restorer_apply=lambda v, x: resunet.apply(v, x, train=False),
             restorer_vars=rv)
         results["Unified Restored (fused)"] = r["top1"]
@@ -56,7 +57,7 @@ def main():
     elif os.path.exists(f"{RESTORED}/Compound"):
         r = tsr_eval.evaluate_directory(
             judge.apply, jv, f"{RESTORED}/Compound",
-            batch_size=args.batch_size, size=args.image_size)
+            batch_size=args.batch_size, size=args.image_size, mesh=mesh)
         results["Unified Restored"] = r["top1"]
         print(f"Result [Unified Restored] Accuracy: {r['top1'] * 100:.2f}%")
 

@@ -26,6 +26,10 @@ if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
 
     if not _xb.backends_are_initialized():
         jax.config.update("jax_platforms", "cpu")
+        # Virtual multi-device CPU mesh (e.g. --mesh data=8 in tests):
+        n_cpu = os.environ.get("TSR_NUM_CPU_DEVICES")
+        if n_cpu:
+            jax.config.update("jax_num_cpu_devices", int(n_cpu))
 
 # Persistent compilation cache: first TPU compiles of the big models take
 # minutes; repeat script invocations reuse them.
@@ -61,7 +65,25 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                         "parity with the reference's torchvision "
                         "Resize (matters only for >image-size sources; "
                         "see PARITY.md 'Resize parity')")
+    p.add_argument("--mesh", default=None, metavar="SPEC",
+                   help="device mesh for SPMD sharding, e.g. 'data=8' or "
+                        "'data=4,model=2' (data-parallel batches; "
+                        "model axis adds tensor parallelism). Default: "
+                        "single device")
     return p
+
+
+def mesh_from_args(args):
+    """Build the jax.sharding.Mesh requested by --mesh (or None)."""
+    spec = getattr(args, "mesh", None)
+    if not spec:
+        return None
+    from tsr_tpu.parallel import mesh as pmesh
+
+    m = pmesh.mesh_from_spec(spec)
+    print(f"Mesh: {dict(zip(m.axis_names, m.devices.shape))} over "
+          f"{m.devices.size} devices")
+    return m
 
 
 def ensure_clean_tree(args) -> str:

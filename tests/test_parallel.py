@@ -81,3 +81,100 @@ def test_model_parallel_judge_forward():
     x = pmesh.shard_batch(np.ones((8, 16, 16, 3), np.float32) * 0.4, m)
     out = np.asarray(jax.jit(judge.apply)(jvs, x))
     assert np.allclose(out, ref, atol=1e-4)
+
+
+def test_mesh_spec_parsing():
+    assert pmesh.parse_mesh_spec(None) is None
+    assert pmesh.parse_mesh_spec("") is None
+    assert pmesh.parse_mesh_spec("8") == {"data": 8, "model": 1}
+    assert pmesh.parse_mesh_spec("data=4,model=2") == {"data": 4,
+                                                       "model": 2}
+    with pytest.raises(ValueError):
+        pmesh.parse_mesh_spec("rows=3")
+    m = pmesh.mesh_from_spec("data=4,model=2")
+    assert m.devices.shape == (4, 2)
+
+
+def test_shard_batch_or_replicate_uneven_tail():
+    m = pmesh.make_mesh(data=8, model=1)
+    even = pmesh.shard_batch_or_replicate(np.zeros((16, 4), np.float32), m)
+    assert even.sharding.spec == jax.sharding.PartitionSpec("data")
+    odd = pmesh.shard_batch_or_replicate(np.zeros((13, 4), np.float32), m)
+    assert odd.sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_mesh_wired_unified_loop_matches_single_device(tmp_path):
+    """`scripts/14 --mesh data=8`-equivalent: the full train_unified loop
+    on an 8-device mesh reproduces the single-device epoch losses."""
+    from tsr_tpu.train import loops
+
+    size, batch = 16, 16
+    imgs, _ = synthetic.make_dataset(4, 12, size)  # 48 images
+    cfg = configs.UnifiedTrainConfig(batch_size=batch, epochs=2, seed=3)
+
+    def run(mesh):
+        model = ResUNet(widths=(4, 8, 16), bottleneck_width=16)
+        v = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((2, size, size, 3)), train=True)
+        state = common.TrainState.create(
+            model.apply, v, common.unified_optimizer(cfg, 2))
+        logs = []
+        loops.train_unified(
+            state,
+            clean_batches=lambda ep: iter([(imgs[:batch],),
+                                           (imgs[batch:2 * batch],)]),
+            val_clean_batches=lambda: iter([(imgs[2 * batch:2 * batch + 12],
+                                             )]),  # uneven: replicated path
+            cfg=cfg, vgg_apply=None, log=logs.append, mesh=mesh)
+        return [ln for ln in logs if "loss" in ln]
+
+    single = run(None)
+    sharded = run(pmesh.make_mesh(data=8, model=1))
+
+    def nums(lines):
+        import re
+        return [float(x) for ln in lines
+                for x in re.findall(r"loss (\d+\.\d+)", ln)]
+
+    a, b = nums(single), nums(sharded)
+    assert len(a) == len(b) > 0
+    np.testing.assert_allclose(a, b, rtol=2e-3)
+
+
+def test_mesh_wired_judge_loop_with_model_axis():
+    """train_judge on a (data=4, model=2) mesh runs and shards the FC
+    kernel per VGG_TP_RULES."""
+    from tsr_tpu.train import loops
+
+    size, ncls = 16, 4
+    imgs, labels = synthetic.make_dataset(ncls, 8, size)
+    cfg = configs.JudgeTrainConfig(batch_size=16, epochs=1)
+    judge = VGG16(num_classes=ncls, cfg=(8, "M", 16, "M"), fc_width=64)
+    jv = judge.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+    state = common.TrainState.create(
+        judge.apply, jv, common.judge_optimizer(cfg))
+    mesh = pmesh.make_mesh(data=4, model=2)
+    state, acc = loops.train_judge(
+        state,
+        train_batches=lambda ep: iter([(imgs[:16], labels[:16])]),
+        val_batches=lambda: iter([(imgs[16:26], labels[16:26])]),
+        cfg=cfg, log=lambda s: None, mesh=mesh)
+    k = state.params["classifier_0"]["kernel"]
+    assert "model" in str(k.sharding.spec)
+    assert 0.0 <= acc <= 1.0
+
+
+def test_evaluate_directory_with_mesh(tmp_path):
+    from tsr_tpu import eval as tsr_eval
+
+    synthetic.write_image_tree(tmp_path / "tree", num_classes=3,
+                               per_class=7, size=16)  # 21 imgs: uneven tail
+    judge = VGG16(num_classes=3, cfg=(8, "M", 16, "M"), fc_width=32)
+    jv = judge.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    mesh = pmesh.make_mesh(data=8, model=1)
+    r1 = tsr_eval.evaluate_directory(judge.apply, jv, str(tmp_path / "tree"),
+                                     batch_size=16, size=16)
+    r8 = tsr_eval.evaluate_directory(judge.apply, jv, str(tmp_path / "tree"),
+                                     batch_size=16, size=16, mesh=mesh)
+    assert r1["n"] == r8["n"] == 21
+    assert r1["top1"] == r8["top1"]

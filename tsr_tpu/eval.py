@@ -120,9 +120,14 @@ def evaluate_directory(
     restorer_apply: Optional[Callable] = None,
     restorer_vars=None,
     quantize: bool = True,
+    mesh=None,
 ) -> Dict[str, float]:
     """Directory top-1 evaluation (ref:06:23-59): ImageFolder over
-    ``data_dir``, optional fused restoration before the judge."""
+    ``data_dir``, optional fused restoration before the judge.
+
+    ``mesh`` runs the harness data-parallel: model variables are
+    replicated on the mesh and each batch is sharded over its data axis
+    (the uneven tail batch is replicated — exact either way)."""
     from tsr_tpu.data import gtsrb
 
     ds = gtsrb.ImageFolder(data_dir, size=size)
@@ -130,4 +135,11 @@ def evaluate_directory(
                                 quantize=quantize)
     it = gtsrb.batches(ds, batch_size=batch_size, shuffle=False,
                        drop_remainder=False, epochs=1)
+    if mesh is not None:
+        from tsr_tpu.parallel import mesh as pmesh
+
+        judge_vars = pmesh.shard_variables(judge_vars, mesh)
+        if restorer_vars is not None:
+            restorer_vars = pmesh.shard_variables(restorer_vars, mesh)
+        it = (tuple(pmesh.shard_batch_or_replicate(b, mesh)) for b in it)
     return evaluate_batches(step, restorer_vars, judge_vars, it)

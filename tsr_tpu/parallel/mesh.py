@@ -45,6 +45,33 @@ def make_mesh(
     return Mesh(arr, axis_names)
 
 
+def parse_mesh_spec(spec: Optional[str]) -> Optional[dict]:
+    """Parse a ``--mesh`` CLI spec: ``"data=8"``, ``"data=4,model=2"``, or
+    a bare int (``"8"`` == ``"data=8"``). Returns None for None/empty."""
+    if not spec:
+        return None
+    out = {"data": 1, "model": 1}
+    if spec.isdigit():
+        out["data"] = int(spec)
+        return out
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in out or not v.strip().lstrip("-").isdigit():
+            raise ValueError(
+                f"bad mesh spec {spec!r}; want e.g. 'data=8' or "
+                "'data=4,model=2'")
+        out[k] = int(v)
+    return out
+
+
+def mesh_from_spec(spec: Optional[str]) -> Optional[Mesh]:
+    axes = parse_mesh_spec(spec)
+    if axes is None:
+        return None
+    return make_mesh(data=axes["data"], model=axes["model"])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P("data"))
@@ -95,3 +122,30 @@ def shard_batch(batch, mesh: Mesh):
     """Place (leading-dim shard) one array or a tuple of arrays."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_batch_or_replicate(batch, mesh: Mesh):
+    """Shard the batch over the data axis when its leading dim divides
+    evenly; replicate otherwise (the uneven final validation/eval batch —
+    computing it redundantly on every device keeps one jit signature per
+    shape and is exact)."""
+    data = mesh.shape[mesh.axis_names[0]]
+    lead = {x.shape[0] for x in jax.tree.leaves(batch)}
+    if len(lead) == 1 and next(iter(lead)) % data == 0:
+        return shard_batch(batch, mesh)
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), batch)
+
+
+def shard_state(state, mesh: Mesh, tp_rules: Sequence = ()):
+    """Place a TrainState on ``mesh``: params/opt_state get ``tp_rules``
+    (optimizer moments mirror the param tree paths, so the same patterns
+    hit them), batch_stats are replicated, everything unmatched is
+    replicated. With ``tp_rules=()`` this is pure data parallelism."""
+    kw = dict(
+        params=shard_variables(state.params, mesh, tp_rules),
+        opt_state=shard_variables(state.opt_state, mesh, tp_rules),
+    )
+    if getattr(state, "batch_stats", None) is not None:
+        kw["batch_stats"] = shard_variables(state.batch_stats, mesh)
+    return state.replace(**kw)

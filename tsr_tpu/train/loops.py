@@ -24,6 +24,35 @@ def _epoch_mean(vals):
     return float(np.mean(vals)) if vals else float("nan")
 
 
+def _mesh_feeders(state, mesh, tp_rules=()):
+    """Returns (state, train_feed, val_feed).
+
+    With a mesh, the state is placed on it (params/opt per ``tp_rules``,
+    rest replicated) and batches are sharded over the data axis — train
+    batches strictly (drop_remainder keeps them full-size; the global
+    batch must divide by the data axis), validation batches with a
+    replicated fallback for the uneven tail. XLA then inserts the
+    gradient/batch-stat collectives under jit; the step functions are
+    unchanged (SURVEY.md §5 mapping)."""
+    if mesh is None:
+        ident = lambda b: b  # noqa: E731
+        return state, ident, ident
+    from tsr_tpu.parallel import mesh as pmesh
+
+    state = pmesh.shard_state(state, mesh, tp_rules)
+    data = mesh.shape[mesh.axis_names[0]]
+
+    def train_feed(b):
+        n = jax.tree.leaves(b)[0].shape[0]
+        if n % data != 0:
+            raise ValueError(
+                f"global batch {n} not divisible by mesh data axis {data}")
+        return pmesh.shard_batch(b, mesh)
+
+    return state, train_feed, (
+        lambda b: pmesh.shard_batch_or_replicate(b, mesh))
+
+
 def _save_ckpt(save_path, state, config=None):
     from tsr_tpu import zoo
 
@@ -38,9 +67,18 @@ def train_judge(
     save_path: Optional[str] = None,
     log: Callable[[str], None] = print,
     ckpt_config: Optional[dict] = None,
+    mesh=None,
 ):
     """Judge fine-tune loop (ref:05:65-118). ``train_batches(epoch)`` and
-    ``val_batches()`` yield (images_u8, labels) numpy batches."""
+    ``val_batches()`` yield (images_u8, labels) numpy batches. ``mesh``
+    shards the loop over devices (data-parallel batches + Megatron TP on
+    the 4096-wide FC layers when the mesh has a model axis)."""
+    from tsr_tpu.parallel import mesh as pmesh
+
+    state, tfeed, vfeed = _mesh_feeders(
+        state, mesh,
+        pmesh.VGG_TP_RULES if mesh is not None
+        and mesh.shape.get("model", 1) > 1 else ())
     step_fn = common.make_judge_train_step(cfg.label_smoothing)
     eval_fn = common.make_judge_eval_step()
     rng = jax.random.PRNGKey(cfg.seed)
@@ -50,6 +88,7 @@ def train_judge(
         losses_, accs, n_img = [], [], 0
         for images, labels in train_batches(epoch):
             rng, dr = jax.random.split(rng)
+            images, labels = tfeed((images, labels))
             state, metrics = step_fn(state, images, labels, dr)
             losses_.append(float(metrics["loss"]))
             accs.append(float(metrics["accuracy"]))
@@ -61,6 +100,7 @@ def train_judge(
 
         correct = total = 0
         for images, labels in val_batches():
+            images, labels = vfeed((images, labels))
             c, _ = eval_fn(state, images, labels)
             correct += int(c)
             total += len(labels)
@@ -86,6 +126,7 @@ def train_restorer(
     log: Callable[[str], None] = print,
     batch_to_float: bool = False,
     ckpt_config: Optional[dict] = None,
+    mesh=None,
 ):
     """Shared restorer loop for the specialized/advanced paths (ref:07
     trains on precomputed (bad, clean) pairs, saving every N epochs;
@@ -93,7 +134,14 @@ def train_restorer(
 
     Batches are fed as uint8 and converted on device (the steps handle
     both dtypes); ``batch_to_float=True`` keeps the old host-side
-    conversion (4x the host->device bytes)."""
+    conversion (4x the host->device bytes). ``mesh`` shards the loop
+    (data-parallel batches; bottleneck-channel TP with a model axis)."""
+    from tsr_tpu.parallel import mesh as pmesh
+
+    state, tfeed, vfeed = _mesh_feeders(
+        state, mesh,
+        pmesh.RESTORER_TP_RULES if mesh is not None
+        and mesh.shape.get("model", 1) > 1 else ())
     best_loss = float("inf")
     for epoch in range(epochs):
         t0 = time.perf_counter()
@@ -102,6 +150,7 @@ def train_restorer(
             if batch_to_float:
                 bad = bad.astype(np.float32) / 255.0
                 clean = clean.astype(np.float32) / 255.0
+            bad, clean = tfeed((bad, clean))
             state, aux = step_fn(state, bad, clean)
             losses_.append(float(aux["loss"]))
             n_img += len(bad)
@@ -114,6 +163,7 @@ def train_restorer(
             if batch_to_float:
                 bad = bad.astype(np.float32) / 255.0
                 clean = clean.astype(np.float32) / 255.0
+            bad, clean = vfeed((bad, clean))
             aux = eval_fn(state, bad, clean)
             vlosses.append(float(aux["loss"]))
         vl = _epoch_mean(vlosses)
@@ -140,13 +190,22 @@ def train_unified(
     save_path: Optional[str] = None,
     log: Callable[[str], None] = print,
     ckpt_config: Optional[dict] = None,
+    mesh=None,
 ):
     """Unified ResUNet loop (ref:14:227-267) with on-device distortion.
 
     ``clean_batches(epoch)`` yields clean uint8 [B,H,W,3] batches; the
-    distorted twin is generated inside the jitted step."""
+    distorted twin is generated inside the jitted step. ``mesh`` shards
+    the loop: clean batches split over the data axis, so each device
+    generates its own distorted shard on-device; BatchNorm and gradient
+    reductions become ICI collectives automatically."""
     from tsr_tpu.ops import distortions
+    from tsr_tpu.parallel import mesh as pmesh
 
+    state, tfeed, vfeed = _mesh_feeders(
+        state, mesh,
+        pmesh.RESTORER_TP_RULES if mesh is not None
+        and mesh.shape.get("model", 1) > 1 else ())
     step_fn = common.make_unified_train_step(
         cfg.mix, cfg.perceptual_weight, vgg_apply)
     eval_fn = common.make_restoration_eval_step(
@@ -159,6 +218,7 @@ def train_unified(
         losses_, n_img = [], 0
         for (clean,) in clean_batches(epoch):
             rng, k = jax.random.split(rng)
+            (clean,) = tfeed((clean,))
             state, aux = step_fn(state, clean, k)
             losses_.append(float(aux["loss"]))
             n_img += len(clean)
@@ -169,6 +229,7 @@ def train_unified(
         vlosses = []
         for (clean,) in val_clean_batches():
             rng, k = jax.random.split(rng)
+            (clean,) = vfeed((clean,))
             bad01, clean01 = distortions.make_training_pair(clean, k, cfg.mix)
             aux = eval_fn(state, bad01, clean01)
             vlosses.append(float(aux["loss"]))
