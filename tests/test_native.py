@@ -57,3 +57,21 @@ def test_image_folder_uses_native_path(tree):
 def test_missing_file_raises(tree):
     with pytest.raises(RuntimeError):
         native.load_batch([str(tree / "nope.ppm")], 32)
+
+
+def test_write_png_batch_lossless(tmp_path):
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (5, 32, 32, 3), np.uint8)
+    paths = [str(tmp_path / f"i{k}.png") for k in range(5)]
+    native.write_png_batch(paths, imgs, threads=2)
+    import cv2
+
+    for p, img in zip(paths, imgs):
+        back = cv2.imread(p)[:, :, ::-1]
+        np.testing.assert_array_equal(back, img)
+
+
+def test_write_png_batch_bad_dir_raises(tmp_path):
+    with pytest.raises(RuntimeError):
+        native.write_png_batch([str(tmp_path / "no" / "dir" / "x.png")],
+                               np.zeros((1, 8, 8, 3), np.uint8))

@@ -237,6 +237,7 @@ def batches(
     workers: int = 8,
     prefetch: int = 2,
     epochs: Optional[int] = 1,
+    transform=None,
 ) -> Iterator:
     """Epoch-based batch iterator with background prefetch.
 
@@ -244,6 +245,10 @@ def batches(
     ImageFolder, ``(bad, clean)`` for PairedFolder. cv2 decode+resize run in
     a thread pool (cv2 releases the GIL), standing in for the reference's
     DataLoader worker processes (ref:05:39-40, 14:213).
+
+    ``transform`` (batch tuple -> batch tuple) runs in the PRODUCER thread
+    — pass ``jax.device_put`` (or a sharded placement) there to overlap
+    host->device upload with the consumer's device compute.
     """
     if indices is None:
         indices = np.arange(len(dataset))
@@ -262,6 +267,8 @@ def batches(
                     return
                 chunk = order[s:s + batch_size]
                 item = _load_chunk(dataset, chunk, workers)
+                if transform is not None:
+                    item = transform(item)
                 # bounded put that still honors early consumer exit
                 while not stop.is_set():
                     try:

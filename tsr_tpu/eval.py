@@ -127,19 +127,26 @@ def evaluate_directory(
 
     ``mesh`` runs the harness data-parallel: model variables are
     replicated on the mesh and each batch is sharded over its data axis
-    (the uneven tail batch is replicated — exact either way)."""
+    (the uneven tail batch is replicated — exact either way).
+
+    Batches are placed on device inside the prefetch producer thread, so
+    the host->device upload of batch k+1 overlaps the judge forward of
+    batch k (the upload link, not the chip, bounds this harness)."""
     from tsr_tpu.data import gtsrb
 
     ds = gtsrb.ImageFolder(data_dir, size=size)
     step = make_fused_eval_step(restorer_apply, judge_apply,
                                 quantize=quantize)
-    it = gtsrb.batches(ds, batch_size=batch_size, shuffle=False,
-                       drop_remainder=False, epochs=1)
     if mesh is not None:
         from tsr_tpu.parallel import mesh as pmesh
 
         judge_vars = pmesh.shard_variables(judge_vars, mesh)
         if restorer_vars is not None:
             restorer_vars = pmesh.shard_variables(restorer_vars, mesh)
-        it = (tuple(pmesh.shard_batch_or_replicate(b, mesh)) for b in it)
+        placer = lambda b: tuple(  # noqa: E731
+            pmesh.shard_batch_or_replicate(b, mesh))
+    else:
+        placer = lambda b: tuple(jax.device_put(list(b)))  # noqa: E731
+    it = gtsrb.batches(ds, batch_size=batch_size, shuffle=False,
+                       drop_remainder=False, epochs=1, transform=placer)
     return evaluate_batches(step, restorer_vars, judge_vars, it)

@@ -4,13 +4,25 @@ Replaces ref:08 (per-image, batch-1 loop) and ref:17 (batch-32 loop): files
 are decoded/resized on host threads, restored on device in large batches,
 and written back as PNG preserving the class-folder structure
 (ref:08:102-109, 17:89-99). PSNR/SSIM against the resized clean tree are
-computed on device (ref:08:111-129).
+computed on device inside the same jitted step (ref:08:111-129).
+
+The whole tree walk is a three-stage pipeline with no serialized host work:
+
+  producer thread   decode+resize (bad, clean) batches, upload to device
+  main thread       dispatch the jitted restore(+metrics) step; while batch
+                    k+1 computes, fetch batch k's restored pixels
+  writer thread     PNG-encode + write (native threaded encoder via
+                    tsr_tpu.native.write_png_batch, cv2 fallback)
+
+so decode, upload, device compute, download, and encode+write all overlap.
+The reference serializes every one of these per image (ref:08:86-109).
 """
 
 from __future__ import annotations
 
+import concurrent.futures as cf
 from pathlib import Path
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,9 +39,28 @@ def _write_png(path: Path, rgb_u8: np.ndarray):
     cv2.imwrite(str(path), rgb_u8[:, :, ::-1])  # RGB -> BGR (ref:08:100)
 
 
-def make_restore_step(restorer_apply: Callable, has_batch_stats: bool):
+def _write_png_batch(paths: List[str], images: np.ndarray):
+    """Batch PNG write: native threaded encoder, cv2 fallback. Parent dirs
+    must already exist."""
+    try:
+        from tsr_tpu import native
+
+        if native.available():
+            native.write_png_batch(paths, images)
+            return
+    except Exception:
+        pass
+    import cv2
+
+    for p, img in zip(paths, images):
+        cv2.imwrite(p, img[:, :, ::-1])
+
+
+def make_restore_step(restorer_apply: Callable, has_batch_stats: bool,
+                      with_metrics: bool = False):
     """uint8 batch -> restored uint8 batch (clamp + PNG quantization,
-    ref:08:96-98)."""
+    ref:08:96-98); with ``with_metrics`` also returns per-image PSNR/SSIM
+    vs a clean uint8 batch, fused into the same jitted graph."""
 
     @jax.jit
     def step(variables, images_u8):
@@ -41,7 +72,60 @@ def make_restore_step(restorer_apply: Callable, has_batch_stats: bool):
         out = jnp.clip(out, 0.0, 1.0)
         return jnp.trunc(image_ops.scale255(out)).astype(jnp.uint8)
 
-    return step
+    if not with_metrics:
+        return step
+
+    @jax.jit
+    def step_metrics(variables, images_u8, clean_u8):
+        restored = step(variables, images_u8)
+        rf = restored.astype(jnp.float32)
+        cf_ = jnp.asarray(clean_u8, jnp.float32)
+        return (restored, image_ops.psnr(rf, cf_),
+                image_ops.ssim(restored, clean_u8))
+
+    return step_metrics
+
+
+class _RestorePairs:
+    """Dataset over (distorted file, optional clean twin): yields
+    (bad_u8, clean_u8, has_clean) batches. Missing cleans get a zero image
+    and a False mask (their metrics are dropped on host)."""
+
+    def __init__(self, files: List[Path], distorted_root: Path,
+                 clean_root: Optional[Path], size: int):
+        from tsr_tpu.data import gtsrb
+
+        self._gtsrb = gtsrb
+        self.size = size
+        self.items: List[Tuple[str, Optional[str]]] = []
+        for p in files:
+            cp = None
+            if clean_root is not None:
+                cand = clean_root / p.relative_to(distorted_root)
+                for c in (cand, cand.with_suffix(".ppm"),
+                          cand.with_suffix(".png")):
+                    if c.exists():
+                        cp = str(c)
+                        break
+            self.items.append((str(p), cp))
+
+    def __len__(self):
+        return len(self.items)
+
+    def load_batch(self, indices):
+        g = self._gtsrb
+        bad = g._decode_resize_batch(
+            [self.items[i][0] for i in indices], self.size)
+        clean_paths = [self.items[i][1] for i in indices]
+        mask = np.asarray([c is not None for c in clean_paths])
+        if mask.any():
+            clean = g._decode_resize_batch(
+                [c or self.items[i][0]
+                 for i, c in zip(indices, clean_paths)], self.size)
+            clean[~mask] = 0
+        else:
+            clean = np.zeros_like(bad)
+        return bad, clean, mask
 
 
 def restore_tree(
@@ -58,8 +142,8 @@ def restore_tree(
 ) -> Dict[str, float]:
     """Restore every image under ``distorted_dir`` into ``restored_dir``
     (as ``.png``, class tree preserved); optionally compute mean PSNR/SSIM
-    vs ``clean_dir`` (ref:08:111-135).
-    """
+    vs ``clean_dir`` (ref:08:111-135). Fully pipelined — see module
+    docstring."""
     from tsr_tpu.data import gtsrb
 
     distorted = Path(distorted_dir)
@@ -68,40 +152,57 @@ def restore_tree(
         p for p in distorted.glob("*/*")
         if p.suffix.lower() in gtsrb.IMG_EXTENSIONS
     )
-    step = make_restore_step(restorer_apply, has_batch_stats)
+    out_paths = [str((restored / p.relative_to(distorted)
+                      ).with_suffix(".png")) for p in files]
+    for d in {Path(p).parent for p in out_paths}:
+        d.mkdir(parents=True, exist_ok=True)
+
+    with_metrics = compute_metrics and clean_dir is not None
+    step = make_restore_step(restorer_apply, has_batch_stats,
+                             with_metrics=with_metrics)
+    ds = _RestorePairs(files, distorted,
+                       Path(clean_dir) if clean_dir else None, size)
+
+    def to_device(item):
+        bad, clean, mask = item
+        return jax.device_put(bad), jax.device_put(clean), mask
+
+    it = gtsrb.batches(ds, batch_size=batch_size, shuffle=False,
+                       drop_remainder=False, epochs=1,
+                       transform=to_device)
 
     psnrs, ssims = [], []
     n = 0
-    for s in range(0, len(files), batch_size):
-        chunk = files[s:s + batch_size]
-        imgs = np.stack([gtsrb._decode_resize(str(p), size) for p in chunk])
-        out = np.asarray(step(variables, imgs))
-        for i, p in enumerate(chunk):
-            rel = p.relative_to(distorted)
-            _write_png((restored / rel).with_suffix(".png"), out[i])
-        n += len(chunk)
+    pending = None  # (out_device, path_slice): fetch AFTER dispatching next
 
-        if compute_metrics and clean_dir is not None:
-            cleans = []
-            keep = []
-            for i, p in enumerate(chunk):
-                rel = p.relative_to(distorted)
-                cp = Path(clean_dir) / rel
-                if not cp.exists():
-                    cp = cp.with_suffix(".ppm")
-                if cp.exists():
-                    cleans.append(gtsrb._decode_resize(str(cp), size))
-                    keep.append(i)
-            if cleans:
-                clean_arr = np.stack(cleans)
-                out_keep = out[keep]
-                psnrs.append(np.asarray(image_ops.psnr(out_keep, clean_arr)))
-                ssims.append(np.asarray(image_ops.ssim(out_keep, clean_arr)))
+    def drain(writer):
+        out_dev, paths = pending
+        out_host = np.asarray(out_dev)  # device->host of batch k while
+        writer.submit(_write_png_batch, paths, out_host)  # k+1 computes
+
+    with cf.ThreadPoolExecutor(1) as writer:
+        for bad, clean, mask in it:
+            b = bad.shape[0]
+            if with_metrics:
+                out, p, s = step(variables, bad, clean)
+                if mask.any():
+                    psnrs.append((p, mask))
+                    ssims.append((s, mask))
+            else:
+                out = step(variables, bad)
+            if pending is not None:
+                drain(writer)
+            pending = (out, out_paths[n:n + b])
+            n += b
+        if pending is not None:
+            drain(writer)
 
     res: Dict[str, float] = {"images": n}
     if psnrs:
-        res["psnr"] = float(np.mean(np.concatenate(psnrs)))
-        res["ssim"] = float(np.mean(np.concatenate(ssims)))
+        pv = np.concatenate([np.asarray(p)[m] for p, m in psnrs])
+        sv = np.concatenate([np.asarray(s)[m] for s, m in ssims])
+        res["psnr"] = float(np.mean(pv))
+        res["ssim"] = float(np.mean(sv))
         log(f"Average PSNR: {res['psnr']:.2f} dB")
         log(f"Average SSIM: {res['ssim']:.4f}")
     return res

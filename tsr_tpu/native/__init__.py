@@ -26,7 +26,7 @@ _build_failed = False
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", _SRC, "-o", _LIB]
+           "-pthread", _SRC, "-o", _LIB, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -59,6 +59,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.tsrio_decode.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_long, ctypes.POINTER(ctypes.c_int)]
+        lib.tsrio_write_png_batch.restype = ctypes.c_int
+        lib.tsrio_write_png_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -83,6 +87,25 @@ def load_batch(paths: List[str], size: int, threads: int = 8
         raise RuntimeError(
             f"tsrio decoded {ok}/{len(paths)} images")
     return out
+
+
+def write_png_batch(paths: List[str], images: np.ndarray,
+                    threads: int = 8) -> None:
+    """Threaded PNG encode+write of a uint8 [N,H,W,3] RGB batch. Parent
+    directories must exist. Raises RuntimeError on any failure (caller
+    falls back to cv2)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libtsrio unavailable")
+    images = np.ascontiguousarray(images, np.uint8)
+    n, h, w, c = images.shape
+    assert c == 3 and n == len(paths), (images.shape, len(paths))
+    joined = "\n".join(paths).encode()
+    ok = lib.tsrio_write_png_batch(
+        joined, n, w, h,
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
+    if ok != n:
+        raise RuntimeError(f"tsrio wrote {ok}/{n} PNGs")
 
 
 def decode(path: str, max_side: int = 4096) -> np.ndarray:

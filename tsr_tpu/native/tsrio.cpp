@@ -11,8 +11,15 @@
 //   tsrio_load_batch(paths, n, size, out, threads) -> images loaded
 //     paths: '\n'-joined file paths; out: uint8[n, size, size, 3]
 //     Failed decodes leave their slot zeroed and are counted out.
+//   tsrio_write_png_batch(paths, n, w, h, data, threads) -> images written
+//     Threaded PNG (8-bit RGB, zlib level 1) encode+write — the restored-
+//     tree output path (ref:08:100-109 writes per image with cv2.imwrite
+//     on the main thread). PNG is lossless, so pixel parity with cv2's
+//     encoder is exact by construction.
 //
 // Resize matches cv2.INTER_LINEAR (half-pixel centers, clamped edges).
+
+#include <zlib.h>
 
 #include <atomic>
 #include <cctype>
@@ -145,6 +152,67 @@ void resize_bilinear(const Image& src, int size, uint8_t* dst) {
   }
 }
 
+// --- PNG encode (8-bit RGB, color type 2, filter 0 scanlines) ---
+void put_be32(std::vector<uint8_t>& v, uint32_t x) {
+  v.push_back((x >> 24) & 0xff);
+  v.push_back((x >> 16) & 0xff);
+  v.push_back((x >> 8) & 0xff);
+  v.push_back(x & 0xff);
+}
+
+void png_chunk(std::vector<uint8_t>& out, const char tag[4],
+               const uint8_t* data, size_t n) {
+  put_be32(out, static_cast<uint32_t>(n));
+  size_t start = out.size();
+  out.insert(out.end(), tag, tag + 4);
+  if (n) out.insert(out.end(), data, data + n);
+  uint32_t crc = static_cast<uint32_t>(
+      crc32(0L, out.data() + start, static_cast<uInt>(4 + n)));
+  put_be32(out, crc);
+}
+
+bool encode_png(const uint8_t* rgb, int w, int h,
+                std::vector<uint8_t>& out) {
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  out.assign(sig, sig + 8);
+
+  uint8_t ihdr[13];
+  ihdr[0] = (w >> 24) & 0xff; ihdr[1] = (w >> 16) & 0xff;
+  ihdr[2] = (w >> 8) & 0xff;  ihdr[3] = w & 0xff;
+  ihdr[4] = (h >> 24) & 0xff; ihdr[5] = (h >> 16) & 0xff;
+  ihdr[6] = (h >> 8) & 0xff;  ihdr[7] = h & 0xff;
+  ihdr[8] = 8;   // bit depth
+  ihdr[9] = 2;   // truecolor RGB
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;
+  png_chunk(out, "IHDR", ihdr, 13);
+
+  // filter byte 0 per scanline
+  const size_t row = static_cast<size_t>(w) * 3;
+  std::vector<uint8_t> raw((row + 1) * h);
+  for (int y = 0; y < h; y++) {
+    raw[(row + 1) * y] = 0;
+    std::memcpy(raw.data() + (row + 1) * y + 1, rgb + row * y, row);
+  }
+  uLongf clen = compressBound(static_cast<uLong>(raw.size()));
+  std::vector<uint8_t> comp(clen);
+  if (compress2(comp.data(), &clen, raw.data(),
+                static_cast<uLong>(raw.size()), 1) != Z_OK)
+    return false;
+  png_chunk(out, "IDAT", comp.data(), clen);
+  png_chunk(out, "IEND", nullptr, 0);
+  return true;
+}
+
+bool write_png_one(const char* path, const uint8_t* rgb, int w, int h) {
+  std::vector<uint8_t> out;
+  if (!encode_png(rgb, w, h, out)) return false;
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return false;
+  size_t put = std::fwrite(out.data(), 1, out.size(), f);
+  std::fclose(f);
+  return put == out.size();
+}
+
 bool load_one(const char* path, int size, uint8_t* out) {
   std::vector<uint8_t> buf;
   if (!read_file(path, buf)) return false;
@@ -193,6 +261,42 @@ int tsrio_load_batch(const char* joined_paths, int n, int size,
   } else {
     std::vector<std::thread> pool;
     for (int t = 0; t < threads; t++) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  return ok.load();
+}
+
+// Threaded PNG encode+write of a uint8 RGB batch [n, h, w, 3].
+// Returns the number of images successfully written.
+int tsrio_write_png_batch(const char* joined_paths, int n, int w, int h,
+                          const uint8_t* data, int threads) {
+  std::vector<std::string> paths;
+  paths.reserve(n);
+  const char* p = joined_paths;
+  for (int i = 0; i < n; i++) {
+    const char* nl = std::strchr(p, '\n');
+    if (!nl) {
+      paths.emplace_back(p);
+      break;
+    }
+    paths.emplace_back(p, nl - p);
+    p = nl + 1;
+  }
+  const size_t per = static_cast<size_t>(w) * h * 3;
+  std::atomic<int> next(0), ok(0);
+  auto work = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= static_cast<int>(paths.size())) break;
+      if (write_png_one(paths[i].c_str(), data + per * i, w, h))
+        ok.fetch_add(1);
+    }
+  };
+  if (threads <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < threads && t < n; t++) pool.emplace_back(work);
     for (auto& th : pool) th.join();
   }
   return ok.load();
