@@ -8,9 +8,14 @@ WORKDIR=${WORKDIR:-/tmp/tsr_demo}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 CLEAN=$WORKDIR/data/gtsrb/Training
 CKPT=$WORKDIR/ckpt
-EPOCHS_JUDGE=${EPOCHS_JUDGE:-8}
-EPOCHS_REST=${EPOCHS_REST:-6}
-EPOCHS_UNI=${EPOCHS_UNI:-8}
+# Reference budgets (ref:07:133 15ep, ref:14:15 25ep). The judge trains
+# from scratch (no ImageNet init offline): 30 epochs at lr 3e-3 with BN —
+# the ref's 10-epoch lr-1e-3 fine-tune recipe assumes pretrained weights
+# (see RESULTS.md judge ablation).
+EPOCHS_JUDGE=${EPOCHS_JUDGE:-30}
+LR_JUDGE=${LR_JUDGE:-3e-3}
+EPOCHS_REST=${EPOCHS_REST:-15}
+EPOCHS_UNI=${EPOCHS_UNI:-25}
 ARGS="--clean-dir $CLEAN --image-size 224 --ckpt-dir $CKPT"
 
 mkdir -p $WORKDIR && cd $WORKDIR
@@ -24,7 +29,7 @@ python $REPO/scripts/04_gen_fog.py $ARGS
 python $REPO/scripts/16_gen_compound_data.py $ARGS
 echo "=== [5] judge ==="
 python $REPO/scripts/05_train_baseline.py $ARGS --batchnorm \
-  --epochs $EPOCHS_JUDGE --batch-size 64
+  --epochs $EPOCHS_JUDGE --lr $LR_JUDGE --batch-size 64
 echo "=== [6] baseline eval ==="
 python $REPO/scripts/06_test_baseline.py $ARGS
 echo "=== [7] specialized restorers ==="

@@ -96,9 +96,12 @@ def ensure_clean_tree(args) -> str:
             from tsr_tpu.data import synthetic
 
             print(f"Generating synthetic tree at {args.clean_dir} ...")
+            # GTSRB-like native sizes: ~31-65 px (the real dataset ships
+            # crops from ~25 to ~110 px; distortions apply at native res)
             synthetic.write_image_tree(
                 args.clean_dir, num_classes=args.synthetic_classes,
-                per_class=args.synthetic_per_class, size=64, seed=args.seed)
+                per_class=args.synthetic_per_class, size=48, seed=args.seed,
+                size_jitter=0.35)
         else:
             raise SystemExit(
                 f"{args.clean_dir} not found. Run scripts/01_download_data.py"

@@ -70,3 +70,23 @@ def test_pallas_random_mix_distribution_matches_jnp(rng):
             # distributional agreement only (different RNG streams; on CPU
             # the interpreter's PRNG is all-zeros, still zero-mean-close)
             assert abs(ours[i].mean() - ref[i].mean()) < 4.0, i
+
+
+def test_sparse_blur_kernel_matches_dense(rng):
+    """Tap-compacted blur (top_k over the rasterized line's nonzeros) must
+    equal the MXU grouped-conv reference for per-sample kernels."""
+    from tsr_tpu.kernels import blur_pallas
+    from tsr_tpu.ops import blur as blur_ops
+
+    imgs = rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32)
+    degs = jnp.asarray([5, 15])
+    angs = jnp.asarray([30.0, 275.0])
+    kerns = jax.vmap(
+        lambda d, a: blur_ops.motion_blur_kernel(d, a, max_degree=15)
+    )(degs, angs)
+    # the default tap budget must cover every nonzero of the line kernel
+    assert int((np.asarray(kerns) > 0).sum(axis=(1, 2)).max()) <= 3 * 15
+    ref = np.asarray(blur_ops.filter2d(jnp.asarray(imgs), kerns))
+    got = np.asarray(blur_pallas.filter2d_pallas_sparse(
+        imgs, kerns, interpret=True))
+    assert np.abs(got - ref).max() < 1e-3

@@ -42,25 +42,23 @@ def test_generate_compound_tree_png(clean_tree, tmp_path):
     assert len(ds) == 6
 
 
-def test_bucketing_matches_native_blur(clean_tree, tmp_path):
-    """Reflect-pad bucketing must equal native-size blur processing."""
+def test_bucketed_blur_tree_matches_native(clean_tree, tmp_path):
+    """The blur tree (bucket pad -> batched blur -> crop -> per-image
+    min-max, ref:03:29) must equal per-image native-size processing."""
     import cv2
-    import jax
 
     from tsr_tpu.ops import distortions
 
-    src = sorted(Path(clean_tree).glob("*/*.ppm"))[0]
-    img = cv2.imread(str(src))[:, :, ::-1]
-    h, w = img.shape[:2]
-    native = np.asarray(distortions.apply_motion_blur(
-        np.ascontiguousarray(img), 12, 45))
-    padded = offline._pad_reflect(np.ascontiguousarray(img), 64, 64)
-    bucketed = np.asarray(distortions.apply_motion_blur(padded, 12, 45))
-    # blur itself is exact under reflect-pad composition; the final min-max
-    # renormalize sees padded pixels (reflected copies) so min/max can
-    # differ only if an extremum appears solely in the pad — allow 1 level
-    diff = np.abs(bucketed[:h, :w].astype(int) - native.astype(int))
-    assert diff.max() <= 1, diff.max()
+    dst = tmp_path / "Blur"
+    offline.generate_tree(str(clean_tree), str(dst), "blur")
+    for src in sorted(Path(clean_tree).glob("*/*.ppm")):
+        img = np.ascontiguousarray(cv2.imread(str(src))[:, :, ::-1])
+        native = np.asarray(distortions.apply_motion_blur(img, 12, 45,
+                                                          minmax_normalize=True))
+        got = cv2.imread(str(dst / src.relative_to(clean_tree)))[:, :, ::-1]
+        diff = np.abs(got.astype(int) - native.astype(int))
+        assert diff.max() <= 1, diff.max()
+        assert (diff > 0).mean() < 1e-3  # cvRound ties at most
 
 
 def test_image_folder_and_batches(clean_tree):

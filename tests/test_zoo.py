@@ -115,3 +115,26 @@ def test_process_shard_single_process():
 
     idx = np.arange(10)
     assert (distributed.process_shard(idx) == idx).all()
+
+
+def test_train_judge_on_device_matches_semantics(tmp_path):
+    """Scanned-epoch device-resident loop: trains, tracks best-val, writes
+    the best snapshot once at the end (ref:05:115-118 semantics)."""
+    from tsr_tpu.models import VGG16
+
+    imgs, labels = synthetic.make_dataset(3, 10, 32)
+    judge = VGG16(num_classes=3, cfg=TINY_CFG, fc_width=32)
+    v = judge.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    cfg = configs.JudgeTrainConfig(epochs=2, batch_size=8)
+    state = common.TrainState.create(judge.apply, v,
+                                     common.judge_optimizer(cfg))
+    tr_idx = np.arange(0, 24)
+    va_idx = np.arange(24, 30)  # 6 images: exercises the masked tail
+    save = str(tmp_path / "judge_dev")
+    state, best = loops.train_judge_on_device(
+        state, imgs, labels, tr_idx, va_idx, cfg, save_path=save,
+        log=lambda *_: None, ckpt_config={"num_classes": 3})
+    import os
+    assert os.path.exists(os.path.join(save, "model"))
+    assert 0.0 <= best <= 1.0
+    assert int(state.step) == 2 * (24 // 8)

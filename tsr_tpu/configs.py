@@ -93,6 +93,13 @@ class JudgeTrainConfig:
     epochs: int = 10
     learning_rate: float = 1e-3
     momentum: float = 0.9
+    # 'sgd' is the reference recipe (ref:05:60) and assumes ImageNet init;
+    # 'adamw' is the documented from-scratch alternative (offline
+    # environments cannot obtain the torchvision weights, and 1k SGD steps
+    # from random init leave VGG16 far from convergence — see RESULTS.md
+    # judge ablation).
+    optimizer: str = "sgd"
+    weight_decay: float = 1e-4   # adamw only
     train_split: float = 0.8     # ref:05:35-37
     from_scratch: bool = True    # ImageNet weights unobtainable offline; documented deviation
     label_smoothing: float = 0.0

@@ -1,15 +1,36 @@
-"""Synthetic GTSRB-like fixture data.
+"""Synthetic GTSRB-like fixture data, calibrated to GTSRB's distortion-
+vulnerability profile.
 
 The real GTSRB download needs network access (ref:01), unavailable in
-air-gapped environments. This module procedurally generates "traffic-sign-
-like" images — colored geometric shapes (circle / triangle / octagon /
-square / diamond) with class-coded glyph bars on textured backgrounds — so
-every pipeline (train / restore / judge / eval / interpretability) runs
-end-to-end and the benchmark has a deterministic data source.
+air-gapped environments. This module procedurally generates traffic-sign
+images whose *failure modes under distortion* match the reference's
+published profile (reference README.md:92-110): the judge should crater
+under AWGN (26.8% there), degrade moderately under motion blur (55.6%) and
+fog (61.1%), and collapse under the compound chain (5.8%).
 
-Classes are visually separable by (shape, hue, glyph pattern), so a judge
-trained on them reaches high clean accuracy and distortion/restoration
-effects mirror the reference's qualitative behavior.
+How the calibration works (v2 — v1 coded class identity in hue, which
+inverted the profile: fog killed it, noise didn't):
+
+* **Template groups.** Classes share GTSRB-like templates — red-ring
+  "speed" circles, red-border warning triangles, blue mandatory discs —
+  and differ only by a two-digit glyph from a shared 3x5 font. Class
+  identity therefore lives in ~2px strokes (at the ~30-60px native sizes
+  GTSRB ships), exactly the high-frequency content that AWGN and a
+  12px motion blur destroy. A handful of "unique" classes (stop / yield /
+  priority analogues) keep distinctive shape+color and stay easy, as in
+  GTSRB.
+* **Fog survives.** Fog (I = J*t + A*(1-t), ref:04:28) is a per-image
+  linear contrast compression: spatial detail is preserved, so a judge
+  trained on the wide illumination spread below can still read glyphs.
+* **Noise is catastrophic.** Illumination gain follows a dark-heavy
+  distribution (GTSRB is full of dusk/underexposed captures). On dark
+  images, sigma^2=0.02 noise both swamps the glyph contrast *and*
+  triggers the reference's uint8 wrap quirk (ref:02:21-26: lower clip
+  bound -1 then np.uint8 cast wraps negatives to bright values),
+  producing salt-noise chaos.
+
+Knobs are collected in ``CALIB`` so the profile can be tuned empirically
+(see benchmarks/calibrate_standin.py).
 """
 
 from __future__ import annotations
@@ -19,76 +40,236 @@ from typing import Tuple
 
 import numpy as np
 
-SHAPES = ("circle", "triangle", "octagon", "square", "diamond")
+# ---------------------------------------------------------------------------
+# Calibration knobs (empirically tuned against reference README.md:92-110)
+# ---------------------------------------------------------------------------
+CALIB = {
+    # illumination gain: g = dark_lo + (dark_hi-dark_lo)*u^dark_pow
+    # (pow>1 pushes mass toward dark)
+    "gain_lo": 0.20,
+    "gain_hi": 1.15,
+    "gain_pow": 1.7,
+    # glyph/fill reflectances (pre-gain)
+    "fill_hi": 0.92,
+    "glyph_dark": 0.16,
+    # sensor noise on "clean" images (std, in [0,1])
+    "sensor_noise": 0.008,
+    # probability/strength of capture blur on a clean image (GTSRB is shot
+    # from a moving car: motion softness is endemic in the training set,
+    # which is why the reference's blurred accuracy only halves)
+    "p_capture_blur": 0.50,
+    "capture_blur_hi": 1.0,
+    # natural atmospheric veil (overcast/hazy capture) on clean images:
+    # probability and transmittance range. The low end overlaps the fog
+    # distortion's t in [0.1, 0.36] (ref:04:28 with intensity 0.8) so the
+    # trained judge, like the reference's ImageNet-initialized one, treats
+    # heavy contrast compression as in-distribution.
+    "p_veil": 0.30,
+    "veil_t": (0.22, 0.85),
+    # sign diameter as a fraction of the frame
+    "diam_lo": 0.66,
+    "diam_hi": 0.92,
+}
+
+# ---------------------------------------------------------------------------
+# 3x5 digit font (shared strokes => digits are mutually confusable under
+# degradation, like real numerals)
+# ---------------------------------------------------------------------------
+_FONT = {
+    0: ["111", "101", "101", "101", "111"],
+    1: ["010", "110", "010", "010", "111"],
+    2: ["111", "001", "111", "100", "111"],
+    3: ["111", "001", "111", "001", "111"],
+    4: ["101", "101", "111", "001", "001"],
+    5: ["111", "100", "111", "001", "111"],
+    6: ["111", "100", "111", "101", "111"],
+    7: ["111", "001", "010", "010", "010"],
+    8: ["111", "101", "111", "101", "111"],
+    9: ["111", "101", "111", "001", "111"],
+}
+_FONT_ARR = np.zeros((10, 5, 3), np.bool_)
+for _d, _rows in _FONT.items():
+    for _r, _row in enumerate(_rows):
+        for _c, _ch in enumerate(_row):
+            _FONT_ARR[_d, _r, _c] = _ch == "1"
+
+# Interleaved group assignment so tiny test datasets (num_classes<=8) still
+# span several templates. Over 43 classes: 13 speed / 17 warn / 9 blue /
+# 4 unique — close to GTSRB's real proportions.
+_KIND_SEQ = ("speed", "warn", "blue", "speed", "warn",
+             "unique", "speed", "warn", "blue", "warn")
+
+# Distinct two-digit codes per group, GTSRB-flavored for the speed group.
+_SPEED_CODES = [(2, 0), (3, 0), (5, 0), (6, 0), (7, 0), (8, 0), (9, 0),
+                (1, 0), (1, 2), (4, 0), (2, 5), (3, 5), (6, 5), (7, 5),
+                (8, 5), (9, 5), (4, 5), (1, 5)]
 
 
-def _hsv_to_rgb(h, s, v):
-    i = int(h * 6) % 6
-    f = h * 6 - int(h * 6)
-    p, q, t = v * (1 - s), v * (1 - f * s), v * (1 - (1 - f) * s)
-    rgb = [(v, t, p), (q, v, p), (p, v, t), (p, q, v), (t, p, v), (v, p, q)][i]
-    return tuple(int(255 * c) for c in rgb)
+def _class_spec(class_id: int):
+    """-> (kind, code) for any class id; deterministic, in-group unique."""
+    kind = _KIND_SEQ[class_id % len(_KIND_SEQ)]
+    idx = sum(1 for c in range(class_id)
+              if _KIND_SEQ[c % len(_KIND_SEQ)] == kind)
+    if kind == "speed":
+        code = _SPEED_CODES[idx % len(_SPEED_CODES)]
+    elif kind == "unique":
+        code = (idx % 6, 0)  # selects the unique shape variant
+    else:
+        # distinct digit pairs, skipping repeats like (k,k) for legibility
+        a, b = (idx * 3 + 1) % 10, (idx * 7 + idx // 10 + 2) % 10
+        code = (a, b if b != a else (b + 1) % 10)
+    return kind, code
 
 
-def make_sign(class_id: int, size: int = 64,
+SS = 4  # supersampling factor
+
+
+def _digit_mask(u, v, code, width, height):
+    """Boolean mask of the two-digit glyph ``code`` centered at (0,0) in the
+    rotated sign frame. ``u``/``v`` are float coordinate grids; the glyph box
+    is ``width`` x ``height`` (7 cols x 5 rows: 3+gap+3)."""
+    cw, ch = width / 7.0, height / 5.0
+    col = np.floor((u + width / 2) / cw).astype(np.int32)
+    row = np.floor((v + height / 2) / ch).astype(np.int32)
+    valid = (col >= 0) & (col < 7) & (row >= 0) & (row < 5) & (col != 3)
+    d = np.where(col < 3, code[0], code[1])
+    dcol = np.where(col < 3, col, col - 4)
+    lut = _FONT_ARR[np.clip(d, 0, 9),
+                    np.clip(row, 0, 4),
+                    np.clip(dcol, 0, 2)]
+    return valid & lut
+
+
+def _coarse_noise(rng, size, cells, lo, hi):
+    """Low-frequency clutter: random coarse grid, bilinearly upscaled."""
+    g = rng.uniform(lo, hi, (cells, cells, 3)).astype(np.float32)
+    idx = np.linspace(0, cells - 1, size)
+    i0 = np.floor(idx).astype(int)
+    i1 = np.minimum(i0 + 1, cells - 1)
+    f = (idx - i0)[:, None, None]
+    rows = g[i0] * (1 - f) + g[i1] * f
+    f2 = (idx - i0)[None, :, None]
+    return rows[:, i0] * (1 - f2) + rows[:, i1] * f2
+
+
+def make_sign(class_id: int, size: int = 48,
               rng: np.random.Generator | None = None) -> np.ndarray:
-    """Render one sign image for ``class_id`` (uint8 HWC RGB)."""
+    """Render one sign image for ``class_id`` (uint8 HWC RGB).
+
+    Rendered at 4x supersampling on float [0,1], box-downscaled (photographic
+    softness), then pushed through a GTSRB-like photometric pipeline
+    (dark-heavy gain, gamma, color cast, sensor noise)."""
     rng = rng or np.random.default_rng(0)
-    img = np.empty((size, size, 3), np.uint8)
-    # textured background
-    bg = rng.integers(60, 180, 3)
-    img[:] = bg
-    img = (img.astype(np.int16)
-           + rng.integers(-25, 25, (size, size, 3))).clip(0, 255
-                                                          ).astype(np.uint8)
+    kind, code = _class_spec(class_id)
+    S = size * SS
+    C = CALIB
 
-    shape = SHAPES[class_id % len(SHAPES)]
-    hue = (class_id * 0.618034) % 1.0
-    color = _hsv_to_rgb(hue, 0.85, 0.95)
-    border = _hsv_to_rgb((hue + 0.5) % 1.0, 0.9, 0.6)
+    # --- background: gradient + low-frequency clutter -----------------
+    top = rng.uniform(0.25, 0.7, 3)
+    bot = top * rng.uniform(0.4, 0.9) + rng.uniform(-0.08, 0.08, 3)
+    t = np.linspace(0, 1, S, dtype=np.float32)[:, None, None]
+    img = (top * (1 - t) + np.clip(bot, 0.02, 1.0) * t
+           ).astype(np.float32) * np.ones((S, S, 3), np.float32)
+    img = 0.78 * img + 0.22 * _coarse_noise(rng, S, rng.integers(3, 7),
+                                            0.1, 0.8)
 
-    c = size / 2 + rng.uniform(-size * 0.06, size * 0.06, 2)
-    r = size * rng.uniform(0.3, 0.42)
-    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
-    dx, dy = xx - c[0], yy - c[1]
+    # --- sign geometry (rotated coordinate frame) ----------------------
+    cx = S / 2 + rng.uniform(-0.07, 0.07) * S
+    cy = S / 2 + rng.uniform(-0.07, 0.07) * S
+    r = S * rng.uniform(C["diam_lo"], C["diam_hi"]) / 2
+    th = np.deg2rad(rng.uniform(-6, 6))
+    yy, xx = np.mgrid[0:S, 0:S].astype(np.float32)
+    u = (xx - cx) * np.cos(th) + (yy - cy) * np.sin(th)
+    v = -(xx - cx) * np.sin(th) + (yy - cy) * np.cos(th)
 
-    if shape == "circle":
-        mask = dx * dx + dy * dy <= r * r
-        inner = dx * dx + dy * dy <= (0.75 * r) ** 2
-    elif shape == "square":
-        mask = (np.abs(dx) <= r) & (np.abs(dy) <= r)
-        inner = (np.abs(dx) <= 0.75 * r) & (np.abs(dy) <= 0.75 * r)
-    elif shape == "diamond":
-        mask = (np.abs(dx) + np.abs(dy)) <= 1.3 * r
-        inner = (np.abs(dx) + np.abs(dy)) <= 0.95 * r
-    elif shape == "octagon":
-        mask = (np.maximum(np.abs(dx), np.abs(dy))
-                + 0.41 * (np.abs(dx) + np.abs(dy))) <= 1.3 * r
-        inner = (np.maximum(np.abs(dx), np.abs(dy))
-                 + 0.41 * (np.abs(dx) + np.abs(dy))) <= 0.95 * r
-    else:  # triangle (pointing up)
-        mask = (dy >= -r) & (np.abs(dx) * 1.8 <= (r - dy) * 0.9)
-        inner = (dy >= -0.7 * r) & (np.abs(dx) * 1.8 <= (0.7 * r - dy) * 0.9)
+    fill = C["fill_hi"] + rng.uniform(-0.06, 0.06)
+    dark = C["glyph_dark"] + rng.uniform(0.0, 0.10)
+    red = np.array([0.72, 0.09, 0.11]) * rng.uniform(0.85, 1.1)
+    blue = np.array([0.09, 0.22, 0.62]) * rng.uniform(0.85, 1.1)
+    white = np.array([fill, fill, fill * 0.97])
+    black = np.array([dark, dark, dark])
 
-    img[mask] = border
-    img[inner] = color
+    def put(mask, color):
+        img[mask] = np.asarray(color, np.float32)
 
-    # class-coded glyph: binary bar pattern from higher class bits
-    bits = [(class_id >> k) & 1 for k in range(4)]
-    bar_h = max(2, size // 16)
-    y0 = int(c[1] - 2 * bar_h)
-    for k, b in enumerate(bits):
-        if not b:
-            continue
-        y = y0 + k * bar_h
-        x0, x1 = int(c[0] - r * 0.45), int(c[0] + r * 0.45)
-        y = np.clip(y, 0, size - bar_h)
-        sl = img[y:y + bar_h, max(x0, 0):min(x1, size)]
-        sl[:] = (255, 255, 255) if sum(color) < 380 else (10, 10, 10)
+    absu, absv = np.abs(u), np.abs(v)
+    rad2 = u * u + v * v
+    if kind == "speed":
+        put(rad2 <= r * r, red)
+        put(rad2 <= (0.78 * r) ** 2, white)
+        put((rad2 <= (0.78 * r) ** 2)
+            & _digit_mask(u, v, code, 1.30 * r, 1.10 * r), black)
+    elif kind == "warn":
+        # upward triangle (apex top) with red border, cream interior,
+        # glyph in the wide lower half
+        def tri(scale):
+            return ((v >= -0.62 * r * scale)
+                    & (absu * 1.9 <= (0.62 * r * scale + v) * 1.12))
+        put(tri(1.45), red)
+        put(tri(1.05), white)
+        put(tri(1.05) & _digit_mask(u, v - 0.22 * r, code,
+                                    0.95 * r, 0.80 * r), black)
+    elif kind == "blue":
+        put(rad2 <= r * r, blue)
+        put((rad2 <= (0.9 * r) ** 2)
+            & _digit_mask(u, v, code, 1.25 * r, 1.05 * r), white)
+    else:  # unique, code[0] selects the variant
+        var = code[0]
+        if var == 0:  # stop-like red octagon with white band
+            oct_m = (np.maximum(absu, absv) + 0.41 * (absu + absv)) <= 1.3 * r
+            put(oct_m, red)
+            put(oct_m & (absv <= 0.22 * r), white)
+        elif var == 1:  # yield-like inverted triangle (apex bottom)
+            m = (v <= 0.62 * r) & (absu * 1.9 <= (0.62 * r - v) * 1.12)
+            put(m, red)
+            put((v <= 0.40 * r) & (absu * 1.9 <= (0.40 * r - v) * 1.12),
+                white)
+        elif var == 2:  # priority-like yellow diamond
+            put((absu + absv) <= 1.25 * r, white)
+            put((absu + absv) <= 0.95 * r, [0.85, 0.7, 0.1])
+        elif var == 3:  # end-of-limits: white disc + gray diagonal stripes
+            put(rad2 <= r * r, white)
+            stripe = (np.mod(u + v, 0.5 * r) < 0.14 * r) & (rad2 <= r * r)
+            put(stripe, [0.45, 0.45, 0.45])
+        elif var == 4:  # blue square with white disc
+            put(np.maximum(absu, absv) <= r, blue)
+            put(rad2 <= (0.5 * r) ** 2, white)
+        else:  # black-bordered white hexagon
+            hexm = (absv + 0.58 * absu) <= 1.1 * r
+            put(hexm & (absu <= 0.95 * r), black)
+            put((absv + 0.58 * absu <= 0.85 * r) & (absu <= 0.72 * r), white)
 
-    # mild global illumination jitter
-    gain = rng.uniform(0.85, 1.15)
-    return np.clip(img.astype(np.float32) * gain, 0, 255).astype(np.uint8)
+    # --- downscale (box filter over SS x SS) ---------------------------
+    small = img.reshape(size, SS, size, SS, 3).mean((1, 3))
+
+    # optional capture blur (GTSRB has plenty of soft captures): average
+    # with a shifted copy along a random axis, strength up to a full pixel
+    if rng.uniform() < C["p_capture_blur"]:
+        k = rng.uniform(0.3, C["capture_blur_hi"])
+        ax = rng.integers(0, 2)
+        sh = np.roll(small, 1, axis=ax)
+        sh2 = np.roll(small, -1, axis=ax)
+        small = small * (1 - k / 2) + sh * (k / 3) + sh2 * (k / 6)
+
+    # --- photometric pipeline: gain, gamma, cast, veil, sensor noise ---
+    g = C["gain_lo"] + (C["gain_hi"] - C["gain_lo"]) * \
+        rng.uniform() ** C["gain_pow"]
+    gamma = rng.uniform(0.8, 1.25)
+    cast = rng.uniform(0.88, 1.12, 3)
+    out = np.clip(small, 0, 1) ** gamma
+    out = out * g * cast
+    if rng.uniform() < C["p_veil"]:
+        # natural atmospheric veil: overcast/hazy captures, which GTSRB's
+        # training set contains plenty of. This is what teaches the judge
+        # the contrast-invariance that lets it survive the synthetic fog
+        # distortion (ref README.md:97: foggy = 61%, a *moderate* drop) —
+        # fog is an info-preserving linear squeeze, and a judge that has
+        # seen washed-out captures can still read signs through it.
+        tv = rng.uniform(*C["veil_t"])
+        out = out * tv + rng.uniform(0.65, 0.95) * (1 - tv)
+    out = out + rng.normal(0, C["sensor_noise"] * rng.uniform(0.3, 1.5),
+                           out.shape)
+    return (np.clip(out, 0, 1) * 255).astype(np.uint8)
 
 
 def make_dataset(num_classes: int = 43, per_class: int = 20,
@@ -105,9 +286,16 @@ def make_dataset(num_classes: int = 43, per_class: int = 20,
 
 
 def write_image_tree(root: str, num_classes: int = 8, per_class: int = 6,
-                     size: int = 64, seed: int = 0) -> str:
+                     size: int = 64, seed: int = 0,
+                     size_jitter: float = 0.0) -> str:
     """Materialize a GTSRB-layout directory tree of synthetic signs
-    (``<root>/<class_id:05d>/<i:05d>.ppm``) for file-based pipeline tests."""
+    (``<root>/<class_id:05d>/<i:05d>.ppm``) for file-based pipeline tests.
+
+    ``size_jitter`` > 0 varies the native resolution per image in
+    ``[size*(1-j), size*(1+j)]`` — GTSRB ships crops from ~25 to ~110 px,
+    and distortion severity is relative to native pixels (ref:02/03/04
+    distort before any resize), so a spread of native sizes is part of the
+    difficulty profile."""
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -116,6 +304,12 @@ def write_image_tree(root: str, num_classes: int = 8, per_class: int = 6,
         d = root_p / f"{cid:05d}"
         d.mkdir(parents=True, exist_ok=True)
         for i in range(per_class):
-            img = make_sign(cid, size, rng)
+            if size_jitter > 0:
+                s = int(round(size * rng.uniform(1 - size_jitter,
+                                                 1 + size_jitter)))
+                s = max(s, 24)
+            else:
+                s = size
+            img = make_sign(cid, s, rng)
             cv2.imwrite(str(d / f"{i:05d}.ppm"), img[:, :, ::-1])
     return str(root_p)

@@ -60,10 +60,14 @@ def _register_kinds():
         lambda x, k: distortions.add_gaussian_noise(
             x, k, var=configs.NoiseConfig().var),
         True, None)
+    # blur runs batched WITHOUT the final min-max renormalize (ref:03:29):
+    # that stage is per-image over native pixels only, so it must run after
+    # the bucket pad is cropped off (on low-contrast images the pad's blur
+    # halo would shift the per-image min/max) — see _POST below.
     KINDS["blur"] = (
         lambda x, k: distortions.apply_motion_blur(
             x, configs.BlurConfig().degree, configs.BlurConfig().angle,
-            minmax_normalize=True),
+            minmax_normalize=False),
         False, None)
     KINDS["fog"] = (
         lambda x, k: distortions.add_fog(
@@ -75,6 +79,20 @@ def _register_kinds():
 
 
 _register_kinds()
+
+
+def _minmax_u8_host(img_u8: np.ndarray) -> np.ndarray:
+    """``cv2.normalize(x, x, 0, 255, NORM_MINMAX)`` on one native-size uint8
+    image (ref:03:29): joint min/max over pixels and channels, cvRound."""
+    lo, hi = int(img_u8.min()), int(img_u8.max())
+    if hi <= lo:
+        return np.zeros_like(img_u8)
+    scaled = (img_u8.astype(np.float32) - lo) * (255.0 / (hi - lo))
+    return np.clip(np.rint(scaled), 0, 255).astype(np.uint8)
+
+
+# per-image host-side epilogue applied after the bucket pad is cropped
+_POST = {"blur": _minmax_u8_host}
 
 
 def generate_tree(
@@ -117,6 +135,7 @@ def generate_tree(
                 [_pad_reflect(img, bh, bw) for _, img in chunk])
             key, sub = jax.random.split(key)
             out = np.asarray(jfn(batch, sub))
+            post = _POST.get(kind)
             for (p, img), o in zip(chunk, out):
                 h, w = img.shape[:2]
                 rel = p.relative_to(src)
@@ -124,7 +143,10 @@ def generate_tree(
                 if suffix:
                     outp = outp.with_suffix(suffix)
                 outp.parent.mkdir(parents=True, exist_ok=True)
-                cv2.imwrite(str(outp), o[:h, :w, ::-1])
+                crop = o[:h, :w]
+                if post is not None:
+                    crop = post(crop)
+                cv2.imwrite(str(outp), crop[:, :, ::-1])
                 written += 1
     log(f"Done: {written} images -> {dst}")
     return written

@@ -68,7 +68,11 @@ class TrainState(struct.PyTreeNode):
 # --------------------------------------------------------------------------
 
 def judge_optimizer(cfg: configs.JudgeTrainConfig):
-    """SGD(lr=1e-3, momentum=0.9) (ref:05:60)."""
+    """SGD(lr=1e-3, momentum=0.9) (ref:05:60), or AdamW for the
+    from-scratch path (cfg.optimizer — see configs.JudgeTrainConfig)."""
+    if cfg.optimizer == "adamw":
+        return optax.adamw(cfg.learning_rate,
+                           weight_decay=cfg.weight_decay)
     return optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
 
 
@@ -96,10 +100,12 @@ def unified_optimizer(cfg: configs.UnifiedTrainConfig, steps_per_epoch: int):
 # Train-step factories
 # --------------------------------------------------------------------------
 
-def make_judge_train_step(label_smoothing: float = 0.0):
+def make_judge_train_step(label_smoothing: float = 0.0, jit: bool = True):
     """Judge fine-tune step: ImageNet-normalized input, CE loss (ref:05:75-87).
 
-    Batch: (images_u8 [B,H,W,3], labels [B]).
+    Batch: (images_u8 [B,H,W,3], labels [B]). ``jit=False`` returns the raw
+    step for embedding in a larger jitted graph (e.g. the scanned-epoch
+    device-resident loop in ``loops.train_judge_on_device``).
     """
 
     def step(state: TrainState, images_u8, labels, dropout_rng):
@@ -128,6 +134,8 @@ def make_judge_train_step(label_smoothing: float = 0.0):
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         return new_state, {"loss": loss, "accuracy": acc}
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,))
 
 

@@ -9,6 +9,7 @@ copy-pasted loops.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable, Iterable, Optional
 
@@ -17,6 +18,7 @@ import numpy as np
 
 from tsr_tpu import checkpoint as ckpt  # noqa: F401 (re-export for tests)
 from tsr_tpu import configs
+from tsr_tpu.ops import image as image_ops
 from tsr_tpu.train import common
 
 
@@ -110,6 +112,114 @@ def train_judge(
             best_acc = val_acc
             _save_ckpt(save_path, state, ckpt_config)
             log(f"  saved best (val acc {best_acc:.4f})")
+    return state, best_acc
+
+
+def train_judge_on_device(
+    state: common.TrainState,
+    images_u8: np.ndarray,
+    labels: np.ndarray,
+    tr_idx: np.ndarray,
+    va_idx: np.ndarray,
+    cfg: configs.JudgeTrainConfig,
+    save_path: Optional[str] = None,
+    log: Callable[[str], None] = print,
+    ckpt_config: Optional[dict] = None,
+):
+    """Judge training with the whole dataset resident in HBM.
+
+    Same recipe as :func:`train_judge` (ref:05:65-118) but TPU-shaped for a
+    remote chip: the dataset is uploaded ONCE, each epoch is a single jitted
+    ``lax.scan`` over steps (batches gathered on-device from a fresh
+    permutation), and validation is a second scanned graph — so an epoch
+    costs one dispatch + three scalar fetches instead of per-step
+    host->device uploads and blocking metric reads (which cap the streamed
+    loop at ~200 img/s through a ~30 ms-RTT relay). The best-val state is
+    snapshotted on-device and written to disk once at the end, preserving
+    the reference's best-val-checkpoint semantics (ref:05:115-118).
+
+    Use when ``images_u8`` fits in HBM (a 224px uint8 tree is ~150 KB/img;
+    GTSRB-scale ~40k images = 6 GB — fits v5e's 16 GB). Otherwise fall back
+    to :func:`train_judge`.
+    """
+    import jax.numpy as jnp
+
+    bs = cfg.batch_size
+    x_all = jax.device_put(np.ascontiguousarray(images_u8))
+    y_all = jax.device_put(np.asarray(labels, np.int32))
+    tr_idx = np.asarray(tr_idx, np.int32)
+    steps = len(tr_idx) // bs
+    if steps == 0:
+        raise ValueError(f"fewer than one batch: {len(tr_idx)} < {bs}")
+
+    # validation: pad to a batch multiple, mask the tail
+    va_idx = np.asarray(va_idx, np.int32)
+    n_val = len(va_idx)
+    vsteps = max(1, (n_val + bs - 1) // bs)
+    va_pad = np.concatenate(
+        [va_idx, np.zeros(vsteps * bs - n_val, np.int32)])
+    va_mask = np.concatenate(
+        [np.ones(n_val, np.float32), np.zeros(vsteps * bs - n_val)])
+    va_pad_d = jax.device_put(va_pad.reshape(vsteps, bs))
+    va_mask_d = jax.device_put(va_mask.reshape(vsteps, bs))
+
+    step_fn = common.make_judge_train_step(cfg.label_smoothing, jit=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(st, x, y, idx, rng):
+        perm = jax.random.permutation(rng, idx)[:steps * bs]
+        perm = perm.reshape(steps, bs)
+
+        def body(carry, batch_idx):
+            st, rng = carry
+            rng, dr = jax.random.split(rng)
+            xb = jnp.take(x, batch_idx, axis=0)
+            yb = jnp.take(y, batch_idx, axis=0)
+            st, m = step_fn(st, xb, yb, dr)
+            return (st, rng), (m["loss"], m["accuracy"])
+
+        (st, _), (ls, accs) = jax.lax.scan(body, (st, rng), perm)
+        return st, jnp.mean(ls), jnp.mean(accs)
+
+    eval_fn = common.make_judge_eval_step()
+
+    @jax.jit
+    def val_fn(st, x, y, idxs, masks):
+        def body(tot, args):
+            idx, mask = args
+            xb = jnp.take(x, idx, axis=0)
+            yb = jnp.take(y, idx, axis=0)
+            xn = image_ops.imagenet_normalize(image_ops.to_float01(xb))
+            logits = st.apply_fn(st.variables, xn, train=False)
+            hit = (jnp.argmax(logits, -1) == yb).astype(jnp.float32)
+            return tot + jnp.sum(hit * mask), None
+
+        tot, _ = jax.lax.scan(body, jnp.float32(0.0), (idxs, masks))
+        return tot
+
+    snapshot = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    idx_d = jax.device_put(tr_idx)
+    best_acc, best_state = 0.0, None
+    for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
+        rng, er = jax.random.split(rng)
+        state, mloss, macc = epoch_fn(state, x_all, y_all, idx_d, er)
+        val_acc = float(val_fn(state, x_all, y_all,
+                               va_pad_d, va_mask_d)) / max(n_val, 1)
+        dt = time.perf_counter() - t0
+        log(f"Epoch {epoch + 1}/{cfg.epochs} train loss {float(mloss):.4f} "
+            f"acc {float(macc):.4f} ({steps * bs / max(dt, 1e-9):.1f} img/s)")
+        log(f"  val acc {val_acc:.4f}")
+        if val_acc > best_acc:
+            best_acc = val_acc
+            if save_path:
+                best_state = snapshot(state)
+                log(f"  new best (val acc {best_acc:.4f})")
+    if save_path and best_state is not None:
+        _save_ckpt(save_path, best_state, ckpt_config)
+        log(f"saved best checkpoint (val acc {best_acc:.4f})")
     return state, best_acc
 
 
