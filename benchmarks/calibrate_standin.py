@@ -64,6 +64,10 @@ def main():
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true", default=True,
+                   help="bfloat16 judge compute (default; the calibration "
+                        "loop is throughput-bound)")
+    p.add_argument("--f32", dest="bf16", action="store_false")
     p.add_argument("--no-batchnorm", action="store_true",
                    help="plain VGG16 (the ref's exact architecture) "
                         "instead of the BN variant — for the from-scratch "
@@ -103,21 +107,20 @@ def main():
             batch_size=args.batch_size, epochs=args.epochs,
             learning_rate=args.lr, optimizer=args.optimizer,
             seed=args.seed)
+        import jax.numpy as jnp
         judge, variables = zoo.build_judge(
             num_classes=ncls, use_batchnorm=not args.no_batchnorm,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
             size=args.image_size)
         state = common.TrainState.create(
             judge.apply, variables, common.judge_optimizer(cfg))
         tr, va = gtsrb.train_val_split(len(ds), cfg.train_split, cfg.seed)
-        mk = functools.partial(gtsrb.batches, ds,
-                               batch_size=cfg.batch_size, workers=8)
         t0 = time.time()
-        loops.train_judge(
-            state,
-            train_batches=lambda ep: mk(indices=tr, seed=cfg.seed + ep),
-            val_batches=lambda: mk(indices=va, shuffle=False,
-                                   drop_remainder=False),
-            cfg=cfg, save_path=str(ckpt_path),
+        images, labels = ds.load_batch(range(len(ds)))
+        print(f"[data] loaded {len(ds)} imgs in {time.time() - t0:.1f}s")
+        t0 = time.time()
+        loops.train_judge_on_device(
+            state, images, labels, tr, va, cfg, save_path=str(ckpt_path),
             ckpt_config={"kind": "vgg16", "num_classes": ncls,
                          "use_batchnorm": not args.no_batchnorm})
         print(f"[judge] trained in {time.time() - t0:.1f}s")

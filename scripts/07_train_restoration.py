@@ -26,6 +26,9 @@ def main():
     p.add_argument("--distorted-dir", default=None)
     p.add_argument("--save", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--host-stream", action="store_true",
+                   help="stream batches from host per step instead of the "
+                        "device-resident scanned-epoch loop")
     p.add_argument("--workers", type=int, default=8)
     args = p.parse_args()
     cfg = configs.RestorationTrainConfig(
@@ -50,17 +53,28 @@ def main():
             state = zoo.load_train_state(save, state)
             print(f"Resumed from {save} at step {int(state.step)}")
 
-    step = common.make_restoration_train_step(pixel="mse")
-    evalf = common.make_restoration_eval_step(pixel="mse")
-    mk = functools.partial(gtsrb.batches, ds, batch_size=cfg.batch_size,
-                           workers=args.workers)
-    loops.train_restorer(
-        state,
-        train_batches=lambda ep: mk(indices=tr_idx, seed=cfg.seed + ep),
-        val_batches=lambda: mk(indices=va_idx, shuffle=False,
-                               drop_remainder=False),
-        epochs=cfg.epochs, step_fn=step, eval_fn=evalf, save_path=save,
-        checkpoint_every=cfg.checkpoint_every, mesh=mesh_from_args(args))
+    mesh = mesh_from_args(args)
+    # both trees resident: 2 trees x N x S^2 x 3 bytes
+    fits = 2 * len(ds) * args.image_size ** 2 * 3 < 8e9
+    if fits and mesh is None and not args.host_stream:
+        bad, clean = ds.load_batch(range(len(ds)))
+        loops.train_restorer_on_device(
+            state, bad, clean, tr_idx, va_idx, epochs=cfg.epochs,
+            batch_size=cfg.batch_size, pixel="mse", perceptual_weight=0.0,
+            save_path=save, checkpoint_every=cfg.checkpoint_every,
+            seed=cfg.seed)
+    else:
+        step = common.make_restoration_train_step(pixel="mse")
+        evalf = common.make_restoration_eval_step(pixel="mse")
+        mk = functools.partial(gtsrb.batches, ds, batch_size=cfg.batch_size,
+                               workers=args.workers)
+        loops.train_restorer(
+            state,
+            train_batches=lambda ep: mk(indices=tr_idx, seed=cfg.seed + ep),
+            val_batches=lambda: mk(indices=va_idx, shuffle=False,
+                                   drop_remainder=False),
+            epochs=cfg.epochs, step_fn=step, eval_fn=evalf, save_path=save,
+            checkpoint_every=cfg.checkpoint_every, mesh=mesh)
     print(f"Done. Checkpoint at {save}")
 
 

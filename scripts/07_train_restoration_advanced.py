@@ -30,6 +30,9 @@ def main():
     p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--distorted-dir", default=None)
     p.add_argument("--save", default=None)
+    p.add_argument("--host-stream", action="store_true",
+                   help="stream batches from host per step instead of the "
+                        "device-resident scanned-epoch loop")
     p.add_argument("--workers", type=int, default=8)
     args = p.parse_args()
     if args.judge is None:
@@ -62,21 +65,31 @@ def main():
     state = common.TrainState.create(
         unet.apply, variables, common.advanced_optimizer(cfg))
 
-    step = common.make_restoration_train_step(
-        pixel="l1", perceptual_weight=cfg.perceptual_weight,
-        vgg_apply=vgg_apply)
-    evalf = common.make_restoration_eval_step(
-        pixel="l1", perceptual_weight=cfg.perceptual_weight,
-        vgg_apply=vgg_apply)
-    mk = functools.partial(gtsrb.batches, ds, batch_size=cfg.batch_size,
-                           workers=args.workers)
-    loops.train_restorer(
-        state,
-        train_batches=lambda ep: mk(indices=tr_idx, seed=cfg.seed + ep),
-        val_batches=lambda: mk(indices=va_idx, shuffle=False,
-                               drop_remainder=False),
-        epochs=cfg.epochs, step_fn=step, eval_fn=evalf, save_path=save,
-        mesh=mesh_from_args(args))
+    mesh = mesh_from_args(args)
+    fits = 2 * len(ds) * args.image_size ** 2 * 3 < 8e9
+    if fits and mesh is None and not args.host_stream:
+        bad, clean_arr = ds.load_batch(range(len(ds)))
+        loops.train_restorer_on_device(
+            state, bad, clean_arr, tr_idx, va_idx, epochs=cfg.epochs,
+            batch_size=cfg.batch_size, pixel="l1",
+            perceptual_weight=cfg.perceptual_weight, vgg_apply=vgg_apply,
+            save_path=save, seed=cfg.seed)
+    else:
+        step = common.make_restoration_train_step(
+            pixel="l1", perceptual_weight=cfg.perceptual_weight,
+            vgg_apply=vgg_apply)
+        evalf = common.make_restoration_eval_step(
+            pixel="l1", perceptual_weight=cfg.perceptual_weight,
+            vgg_apply=vgg_apply)
+        mk = functools.partial(gtsrb.batches, ds, batch_size=cfg.batch_size,
+                               workers=args.workers)
+        loops.train_restorer(
+            state,
+            train_batches=lambda ep: mk(indices=tr_idx, seed=cfg.seed + ep),
+            val_batches=lambda: mk(indices=va_idx, shuffle=False,
+                                   drop_remainder=False),
+            epochs=cfg.epochs, step_fn=step, eval_fn=evalf, save_path=save,
+            mesh=mesh)
     print(f"Done. Checkpoint at {save}")
 
 

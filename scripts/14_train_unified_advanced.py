@@ -45,6 +45,9 @@ def main():
     p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--save", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--host-stream", action="store_true",
+                   help="stream clean batches from host per step instead "
+                        "of the device-resident scanned-epoch loop")
     p.add_argument("--workers", type=int, default=8)
     args = p.parse_args()
     if args.judge is None:
@@ -88,15 +91,23 @@ def main():
             state = zoo.load_train_state(args.save, state)
             print(f"Resumed from {args.save} at step {int(state.step)}")
 
-    mk = functools.partial(gtsrb.batches, ds, batch_size=cfg.batch_size,
-                           workers=args.workers)
-    loops.train_unified(
-        state,
-        clean_batches=lambda ep: mk(indices=tr_idx, seed=cfg.seed + ep),
-        val_clean_batches=lambda: mk(indices=va_idx, shuffle=False,
-                                     drop_remainder=False),
-        cfg=cfg, vgg_apply=vgg_apply, save_path=args.save,
-        mesh=mesh_from_args(args))
+    mesh = mesh_from_args(args)
+    fits = len(ds) * args.image_size ** 2 * 3 < 8e9
+    if fits and mesh is None and not args.host_stream:
+        (clean_arr,) = ds.load_batch(range(len(ds)))
+        loops.train_unified_on_device(
+            state, clean_arr, tr_idx, va_idx, cfg, vgg_apply=vgg_apply,
+            save_path=args.save)
+    else:
+        mk = functools.partial(gtsrb.batches, ds, batch_size=cfg.batch_size,
+                               workers=args.workers)
+        loops.train_unified(
+            state,
+            clean_batches=lambda ep: mk(indices=tr_idx, seed=cfg.seed + ep),
+            val_clean_batches=lambda: mk(indices=va_idx, shuffle=False,
+                                         drop_remainder=False),
+            cfg=cfg, vgg_apply=vgg_apply, save_path=args.save,
+            mesh=mesh)
     print(f"Done. Checkpoint at {args.save}")
 
 

@@ -31,7 +31,9 @@ def test_fused_fog_noise_math(rng):
 
 @pytest.mark.skipif(
     jax.devices()[0].platform == "cpu",
-    reason="TPU interpreter returns zero PRNG bits; needs real TPU")
+    reason="TPU interpreter returns zero PRNG bits; needs real TPU — run "
+           "with TSR_TEST_TPU=1. Recorded pass on TPU v5e 2026-08-17 "
+           "(tests/conftest.py escape hatch).")
 def test_fused_noise_statistics(rng):
     imgs = np.full((2, 32, 32, 3), 128, np.uint8)
     sigma = np.asarray([0.1, 0.2], np.float32)

@@ -138,3 +138,54 @@ def test_train_judge_on_device_matches_semantics(tmp_path):
     assert os.path.exists(os.path.join(save, "model"))
     assert 0.0 <= best <= 1.0
     assert int(state.step) == 2 * (24 // 8)
+
+
+def test_train_restorer_on_device(tmp_path):
+    """Scanned-epoch restorer loop: trains MSE U-Net on HBM-resident
+    pairs, honors checkpoint_every + save_best."""
+    from tsr_tpu.models import SimpleUNet
+
+    rng = np.random.default_rng(0)
+    clean = rng.integers(0, 256, (20, 3, 32, 32), dtype=np.uint8)
+    clean = np.transpose(clean, (0, 2, 3, 1))
+    bad = np.clip(clean.astype(np.int16)
+                  + rng.integers(-20, 20, clean.shape), 0, 255
+                  ).astype(np.uint8)
+    model = SimpleUNet(widths=(4, 8))
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    cfg = configs.RestorationTrainConfig(epochs=2, batch_size=8)
+    state = common.TrainState.create(model.apply, v,
+                                     common.restoration_optimizer(cfg))
+    save = str(tmp_path / "rest_dev")
+    losses_seen = []
+    state = loops.train_restorer_on_device(
+        state, bad, clean, np.arange(14), np.arange(14, 20),
+        epochs=2, batch_size=8, pixel="mse", perceptual_weight=0.0,
+        save_path=save, save_best=True,
+        log=lambda s: losses_seen.append(s))
+    import os
+    assert os.path.exists(os.path.join(save, "model"))
+    assert int(state.step) == 2 * 1  # 14 // 8 = 1 step/epoch
+
+
+def test_train_unified_on_device(tmp_path):
+    """Scanned-epoch unified loop: on-device random-mix generation inside
+    the scan, best-val snapshot at end."""
+    from tsr_tpu.models import ResUNet
+
+    rng = np.random.default_rng(0)
+    clean = rng.integers(0, 256, (20, 32, 32, 3), dtype=np.uint8)
+    model = ResUNet(widths=(4, 8, 8), bottleneck_width=8)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)),
+                   train=True)
+    mix = configs.RandomMixConfig(blur_degree=(3, 5))
+    cfg = configs.UnifiedTrainConfig(epochs=2, batch_size=8, mix=mix)
+    state = common.TrainState.create(
+        model.apply, v, common.unified_optimizer(cfg, 1))
+    save = str(tmp_path / "uni_dev")
+    state = loops.train_unified_on_device(
+        state, clean, np.arange(16), np.arange(16, 20), cfg,
+        save_path=save, log=lambda *_: None)
+    import os
+    assert os.path.exists(os.path.join(save, "model"))
+    assert int(state.step) == 2 * 2  # 16 // 8 = 2 steps/epoch

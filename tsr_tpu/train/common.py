@@ -141,7 +141,8 @@ def make_judge_train_step(label_smoothing: float = 0.0, jit: bool = True):
 
 def make_restoration_train_step(pixel: str = "mse",
                                 perceptual_weight: float = 0.1,
-                                vgg_apply: Optional[Callable] = None):
+                                vgg_apply: Optional[Callable] = None,
+                                jit: bool = True):
     """Restorer step on precomputed (bad01, clean01) float batches.
 
     ``pixel='mse'`` reproduces ref:07:142; pass ``vgg_apply`` (a frozen
@@ -171,6 +172,8 @@ def make_restoration_train_step(pixel: str = "mse",
             state.params)
         return state.apply_gradients(grads), aux
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,))
 
 
@@ -179,6 +182,7 @@ def make_unified_train_step(
     perceptual_weight: float = 0.1,
     vgg_apply: Optional[Callable] = None,
     remat: bool = False,
+    jit: bool = True,
 ):
     """Unified ResUNet step with **on-device** distortion generation.
 
@@ -219,6 +223,8 @@ def make_unified_train_step(
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         return new_state, aux
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,))
 
 

@@ -223,6 +223,228 @@ def train_judge_on_device(
     return state, best_acc
 
 
+def _val_wrap_pad(va_idx: np.ndarray, bs: int):
+    """Wrap-pad validation indices to a batch multiple.
+
+    Returns ([vsteps, bs] int32 indices, [vsteps, bs] float32 mask); padded
+    slots repeat the head of the val set and carry mask 0, so masked sums
+    are exact."""
+    va_idx = np.asarray(va_idx, np.int32)
+    n = len(va_idx)
+    vsteps = max(1, (n + bs - 1) // bs)
+    pad = vsteps * bs - n
+    idx = np.concatenate([va_idx, va_idx[:pad] if pad else va_idx[:0]])
+    mask = np.concatenate([np.ones(n, np.float32), np.zeros(pad)])
+    return idx.reshape(vsteps, bs), mask.reshape(vsteps, bs)
+
+
+def _per_sample_restoration_loss(pred, clean01, pixel, perceptual_weight,
+                                 vgg_apply):
+    """[B] per-sample restoration loss matching losses.restoration_loss."""
+    import jax.numpy as jnp
+
+    if pixel == "mse":
+        pix = jnp.mean((pred - clean01) ** 2, axis=(1, 2, 3))
+    else:
+        pix = jnp.mean(jnp.abs(pred - clean01), axis=(1, 2, 3))
+    if vgg_apply is not None:
+        d = vgg_apply(pred) - vgg_apply(clean01)
+        pix = pix + perceptual_weight * jnp.mean(d ** 2, axis=(1, 2, 3))
+    return pix
+
+
+def train_restorer_on_device(
+    state: common.TrainState,
+    bad_u8: np.ndarray,
+    clean_u8: np.ndarray,
+    tr_idx: np.ndarray,
+    va_idx: np.ndarray,
+    epochs: int,
+    batch_size: int,
+    pixel: str = "mse",
+    perceptual_weight: float = 0.1,
+    vgg_apply=None,
+    save_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    save_best: bool = False,
+    log: Callable[[str], None] = print,
+    ckpt_config: Optional[dict] = None,
+    seed: int = 0,
+):
+    """Specialized/advanced restorer training with HBM-resident pairs.
+
+    Same recipe as :func:`train_restorer` (ref:07:122-181 MSE/Adam,
+    ref:07adv:115-182 L1+perceptual) but each epoch is one jitted
+    ``lax.scan`` — see :func:`train_judge_on_device` for why this is the
+    TPU-shaped loop. ``checkpoint_every`` writes through to disk
+    (ref:07:177-178); ``save_best`` snapshots on-device and writes once at
+    the end (ref:14:265-267 semantics)."""
+    import jax.numpy as jnp
+
+    bs = batch_size
+    bad_d = jax.device_put(np.ascontiguousarray(bad_u8))
+    clean_d = jax.device_put(np.ascontiguousarray(clean_u8))
+    tr_idx = np.asarray(tr_idx, np.int32)
+    steps = len(tr_idx) // bs
+    if steps == 0:
+        raise ValueError(f"fewer than one batch: {len(tr_idx)} < {bs}")
+    va_pad, va_mask = _val_wrap_pad(va_idx, bs)
+    n_val = len(va_idx)
+    va_pad_d = jax.device_put(va_pad)
+    va_mask_d = jax.device_put(va_mask)
+
+    step_fn = common.make_restoration_train_step(
+        pixel, perceptual_weight, vgg_apply, jit=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(st, bad, clean, idx, rng):
+        perm = jax.random.permutation(rng, idx)[:steps * bs]
+        perm = perm.reshape(steps, bs)
+
+        def body(st, bidx):
+            xb = jnp.take(bad, bidx, axis=0)
+            yb = jnp.take(clean, bidx, axis=0)
+            st, aux = step_fn(st, xb, yb)
+            return st, aux["loss"]
+
+        st, ls = jax.lax.scan(body, st, perm)
+        return st, jnp.mean(ls)
+
+    @jax.jit
+    def val_fn(st, bad, clean, idxs, masks):
+        def body(tot, args):
+            bidx, mask = args
+            xb = image_ops.to_float01(jnp.take(bad, bidx, axis=0))
+            yb = image_ops.to_float01(jnp.take(clean, bidx, axis=0))
+            if st.batch_stats is not None:
+                pred = st.apply_fn(st.variables, xb, train=False)
+            else:
+                pred = st.apply_fn(st.variables, xb)
+            ls = _per_sample_restoration_loss(
+                pred, yb, pixel, perceptual_weight, vgg_apply)
+            return tot + jnp.sum(ls * mask), None
+
+        tot, _ = jax.lax.scan(body, jnp.float32(0.0), (idxs, masks))
+        return tot
+
+    snapshot = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+    rng = jax.random.PRNGKey(seed)
+    idx_d = jax.device_put(tr_idx)
+    best_loss, best_state = float("inf"), None
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        rng, er = jax.random.split(rng)
+        state, mloss = epoch_fn(state, bad_d, clean_d, idx_d, er)
+        vl = float(val_fn(state, bad_d, clean_d,
+                          va_pad_d, va_mask_d)) / max(n_val, 1)
+        dt = time.perf_counter() - t0
+        log(f"Epoch {epoch + 1}/{epochs} train loss {float(mloss):.6f} "
+            f"({steps * bs / max(dt, 1e-9):.1f} img/s)")
+        log(f"  val loss {vl:.6f}")
+        if save_path:
+            if checkpoint_every and (epoch + 1) % checkpoint_every == 0:
+                _save_ckpt(save_path, state, ckpt_config)
+            if save_best and vl < best_loss:
+                best_loss = vl
+                best_state = snapshot(state)
+                log("  new best (val loss)")
+    if save_path:
+        if save_best and best_state is not None:
+            _save_ckpt(save_path, best_state, ckpt_config)
+            log(f"saved best checkpoint (val loss {best_loss:.6f})")
+        elif not save_best:
+            _save_ckpt(save_path, state, ckpt_config)
+    return state
+
+
+def train_unified_on_device(
+    state: common.TrainState,
+    clean_u8: np.ndarray,
+    tr_idx: np.ndarray,
+    va_idx: np.ndarray,
+    cfg: configs.UnifiedTrainConfig,
+    vgg_apply=None,
+    save_path: Optional[str] = None,
+    log: Callable[[str], None] = print,
+    ckpt_config: Optional[dict] = None,
+):
+    """Unified ResUNet training (ref:14:227-267) with the clean tree in HBM
+    and scanned epochs; the random-mix distortion already runs on-device
+    inside the step, so this removes the last host round-trips."""
+    import jax.numpy as jnp
+
+    from tsr_tpu.ops import distortions
+
+    bs = cfg.batch_size
+    clean_d = jax.device_put(np.ascontiguousarray(clean_u8))
+    tr_idx = np.asarray(tr_idx, np.int32)
+    steps = len(tr_idx) // bs
+    if steps == 0:
+        raise ValueError(f"fewer than one batch: {len(tr_idx)} < {bs}")
+    va_pad, va_mask = _val_wrap_pad(va_idx, bs)
+    n_val = len(va_idx)
+    va_pad_d = jax.device_put(va_pad)
+    va_mask_d = jax.device_put(va_mask)
+
+    step_fn = common.make_unified_train_step(
+        cfg.mix, cfg.perceptual_weight, vgg_apply, jit=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(st, clean, idx, rng):
+        perm = jax.random.permutation(rng, idx)[:steps * bs]
+        perm = perm.reshape(steps, bs)
+
+        def body(carry, bidx):
+            st, rng = carry
+            rng, k = jax.random.split(rng)
+            cb = jnp.take(clean, bidx, axis=0)
+            st, aux = step_fn(st, cb, k)
+            return (st, rng), aux["loss"]
+
+        (st, _), ls = jax.lax.scan(body, (st, rng), perm)
+        return st, jnp.mean(ls)
+
+    @jax.jit
+    def val_fn(st, clean, idxs, masks, rng):
+        def body(carry, args):
+            tot, rng = carry
+            bidx, mask = args
+            rng, k = jax.random.split(rng)
+            cb = jnp.take(clean, bidx, axis=0)
+            bad01, clean01 = distortions.make_training_pair(cb, k, cfg.mix)
+            pred = st.apply_fn(st.variables, bad01, train=False)
+            ls = _per_sample_restoration_loss(
+                pred, clean01, "l1", cfg.perceptual_weight, vgg_apply)
+            return (tot + jnp.sum(ls * mask), rng), None
+
+        (tot, _), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), rng), (idxs, masks))
+        return tot
+
+    snapshot = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+    rng = jax.random.PRNGKey(cfg.seed)
+    idx_d = jax.device_put(tr_idx)
+    best_loss, best_state = float("inf"), None
+    for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
+        rng, er, vr = jax.random.split(rng, 3)
+        state, mloss = epoch_fn(state, clean_d, idx_d, er)
+        vl = float(val_fn(state, clean_d, va_pad_d, va_mask_d,
+                          vr)) / max(n_val, 1)
+        dt = time.perf_counter() - t0
+        log(f"Epoch {epoch + 1}/{cfg.epochs} train loss {float(mloss):.5f} "
+            f"({steps * bs / max(dt, 1e-9):.1f} img/s)")
+        log(f"  val loss {vl:.5f}")
+        if save_path and vl < best_loss:
+            best_loss = vl
+            best_state = snapshot(state)
+            log("  new best (val loss)")
+    if save_path and best_state is not None:
+        _save_ckpt(save_path, best_state, ckpt_config)
+        log(f"saved best checkpoint (val loss {best_loss:.5f})")
+    return state
+
+
 def train_restorer(
     state: common.TrainState,
     train_batches: Callable[[int], Iterable],
