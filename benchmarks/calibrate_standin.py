@@ -72,11 +72,21 @@ def main():
                    help="plain VGG16 (the ref's exact architecture) "
                         "instead of the BN variant — for the from-scratch "
                         "ablation table")
+    p.add_argument("--calib", action="append", default=[],
+                   metavar="KEY=VAL",
+                   help="override a synthetic.CALIB knob, e.g. "
+                        "--calib gain_pow=2.1 (repeatable)")
     p.add_argument("--keep", action="store_true",
                    help="reuse existing trees/judge instead of rebuilding")
     p.add_argument("--skip-train", action="store_true",
                    help="reuse the existing judge checkpoint")
     args = p.parse_args()
+
+    for kv in args.calib:
+        k, v = kv.split("=", 1)
+        assert k in synthetic.CALIB, f"unknown CALIB knob {k}"
+        synthetic.CALIB[k] = (tuple(float(x) for x in v.split(","))
+                              if "," in v else float(v))
 
     profiling.enable_compilation_cache()
     work = Path(args.work)

@@ -26,6 +26,8 @@ def main():
     p.add_argument("--distorted-dir", default=None)
     p.add_argument("--save", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (params stay f32)")
     p.add_argument("--host-stream", action="store_true",
                    help="stream batches from host per step instead of the "
                         "device-resident scanned-epoch loop")
@@ -44,7 +46,10 @@ def main():
     tr_idx, va_idx = gtsrb.train_val_split(len(ds), cfg.train_split,
                                            cfg.seed)
 
-    unet, variables = zoo.build_simple_unet(size=args.image_size)
+    import jax.numpy as jnp
+    unet, variables = zoo.build_simple_unet(
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        size=args.image_size)
     state = common.TrainState.create(
         unet.apply, variables, common.restoration_optimizer(cfg))
     if args.resume:

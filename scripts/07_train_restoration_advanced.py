@@ -30,6 +30,8 @@ def main():
     p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--distorted-dir", default=None)
     p.add_argument("--save", default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (params stay f32)")
     p.add_argument("--host-stream", action="store_true",
                    help="stream batches from host per step instead of the "
                         "device-resident scanned-epoch loop")
@@ -54,14 +56,19 @@ def main():
     vgg_apply = None
     if args.judge != "none":
         ncls = args.num_classes or len(gtsrb.ImageFolder(clean).classes)
-        judge, jvars = zoo.load_model("vgg16", args.judge, args.image_size,
-                                      num_classes=ncls)
+        import jax.numpy as _jnp
+        judge, jvars = zoo.load_model(
+            "vgg16", args.judge, args.image_size, num_classes=ncls,
+            dtype=_jnp.bfloat16 if args.bf16 else _jnp.float32)
 
         def vgg_apply(x01):  # frozen features[:16], un-normalized input
             return judge.apply(jvars, x01, train=False,
                                tap_layer=PERCEPTUAL_TAP)
 
-    unet, variables = zoo.build_simple_unet(size=args.image_size)
+    import jax.numpy as jnp
+    unet, variables = zoo.build_simple_unet(
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        size=args.image_size)
     state = common.TrainState.create(
         unet.apply, variables, common.advanced_optimizer(cfg))
 

@@ -45,6 +45,8 @@ def main():
     p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--save", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (params stay f32)")
     p.add_argument("--host-stream", action="store_true",
                    help="stream clean batches from host per step instead "
                         "of the device-resident scanned-epoch loop")
@@ -69,8 +71,10 @@ def main():
         if os.path.exists(args.judge):
             ncls = args.num_classes or len(
                 gtsrb.ImageFolder(clean).classes)
+            import jax.numpy as _jnp
             judge, jvars = zoo.load_model(
-                "vgg16", args.judge, args.image_size, num_classes=ncls)
+                "vgg16", args.judge, args.image_size, num_classes=ncls,
+                dtype=_jnp.bfloat16 if args.bf16 else _jnp.float32)
 
             def vgg_apply(x01):
                 return judge.apply(jvars, x01, train=False,
@@ -79,7 +83,10 @@ def main():
             print(f"Judge checkpoint {args.judge} missing; "
                   "training with L1 only")
 
-    resunet, variables = zoo.build_resunet(size=args.image_size)
+    import jax.numpy as jnp
+    resunet, variables = zoo.build_resunet(
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        size=args.image_size)
     steps_per_epoch = max(1, int(len(ds) * cfg.train_split)
                           // cfg.batch_size)
     state = common.TrainState.create(
