@@ -69,6 +69,14 @@ CALIB = {
     # sign diameter as a fraction of the frame
     "diam_lo": 0.66,
     "diam_hi": 0.92,
+    # anti-correlation between native size and illumination gain (0 = off).
+    # GTSRB's large crops skew to close-up dusk/shade captures; here the
+    # knob decouples the blur and compound difficulty bands: a large dark
+    # sign survives motion blur (the offline blur tree's per-image min-max
+    # renormalize, ref:03:29, re-stretches a dark image's range) but dies
+    # in the compound chain, where fog's contrast compression happens
+    # before noise and nothing re-stretches.
+    "size_gain_anticorr": 0.0,
 }
 
 # ---------------------------------------------------------------------------
@@ -153,12 +161,15 @@ def _coarse_noise(rng, size, cells, lo, hi):
 
 
 def make_sign(class_id: int, size: int = 48,
-              rng: np.random.Generator | None = None) -> np.ndarray:
+              rng: np.random.Generator | None = None,
+              gain_u: float | None = None) -> np.ndarray:
     """Render one sign image for ``class_id`` (uint8 HWC RGB).
 
     Rendered at 4x supersampling on float [0,1], box-downscaled (photographic
     softness), then pushed through a GTSRB-like photometric pipeline
-    (dark-heavy gain, gamma, color cast, sensor noise)."""
+    (dark-heavy gain, gamma, color cast, sensor noise). ``gain_u``
+    overrides the illumination-gain quantile in [0, 1] (1 = brightest);
+    used by :func:`write_image_tree` for the size-gain anti-correlation."""
     rng = rng or np.random.default_rng(0)
     kind, code = _class_spec(class_id)
     S = size * SS
@@ -252,8 +263,8 @@ def make_sign(class_id: int, size: int = 48,
         small = small * (1 - k / 2) + sh * (k / 3) + sh2 * (k / 6)
 
     # --- photometric pipeline: gain, gamma, cast, veil, sensor noise ---
-    g = C["gain_lo"] + (C["gain_hi"] - C["gain_lo"]) * \
-        rng.uniform() ** C["gain_pow"]
+    u = rng.uniform() if gain_u is None else float(gain_u)
+    g = C["gain_lo"] + (C["gain_hi"] - C["gain_lo"]) * u ** C["gain_pow"]
     gamma = rng.uniform(0.8, 1.25)
     cast = rng.uniform(0.88, 1.12, 3)
     out = np.clip(small, 0, 1) ** gamma
@@ -304,12 +315,18 @@ def write_image_tree(root: str, num_classes: int = 8, per_class: int = 6,
         d = root_p / f"{cid:05d}"
         d.mkdir(parents=True, exist_ok=True)
         for i in range(per_class):
+            gain_u = None
             if size_jitter > 0:
-                s = int(round(size * rng.uniform(1 - size_jitter,
-                                                 1 + size_jitter)))
+                sq = rng.uniform()  # size quantile, 1 = largest
+                s = int(round(size * (1 + size_jitter * (2 * sq - 1))))
                 s = max(s, 24)
+                a = CALIB.get("size_gain_anticorr", 0.0)
+                if a > 0:
+                    # blend the gain quantile toward (1 - size quantile):
+                    # large signs skew dark (see CALIB comment)
+                    gain_u = (1 - a) * rng.uniform() + a * (1 - sq)
             else:
                 s = size
-            img = make_sign(cid, s, rng)
+            img = make_sign(cid, s, rng, gain_u=gain_u)
             cv2.imwrite(str(d / f"{i:05d}.ppm"), img[:, :, ::-1])
     return str(root_p)
