@@ -52,6 +52,6 @@ python $REPO/scripts/10_visualize_result.py $ARGS
 python $REPO/scripts/11_visualize_hidden_states.py $ARGS
 python $REPO/scripts/13_pipeline_stress_test.py $ARGS --num-samples 10
 python $REPO/scripts/15_test_unified.py $ARGS
-python $REPO/scripts/12_generate_umap_pt.py $ARGS --method tsne
+python $REPO/scripts/12_generate_umap_pt.py $ARGS --method umap
 echo "=== DEMO RUN COMPLETE ==="
 ls -la $WORKDIR

@@ -59,6 +59,13 @@ CALIB = {
     # which is why the reference's blurred accuracy only halves)
     "p_capture_blur": 0.50,
     "capture_blur_hi": 1.0,
+    # directional motion smear on clean captures (the same moving-car
+    # physics, stronger tail). This is the blur-band analog of the veil:
+    # it overlaps the 12 px blur distortion's low end, so blur tolerance
+    # becomes a property of the data instead of a training lottery —
+    # without it the blur band swings 25-52% across runs (calib5 vs 11).
+    "p_motion_smear": 0.30,
+    "smear_len": (1.5, 5.0),   # pixels at native resolution
     # natural atmospheric veil (overcast/hazy capture) on clean images:
     # probability and transmittance range. The low end overlaps the fog
     # distortion's t in [0.1, 0.36] (ref:04:28 with intensity 0.8) so the
@@ -69,6 +76,9 @@ CALIB = {
     # sign diameter as a fraction of the frame
     "diam_lo": 0.66,
     "diam_hi": 0.92,
+    # glyph box scale: <1 shrinks the digit glyph (thinner strokes =>
+    # additive noise bites harder while template/shape cues stay)
+    "glyph_scale": 1.0,
     # anti-correlation between native size and illumination gain (0 = off).
     # GTSRB's large crops skew to close-up dusk/shade captures; here the
     # knob decouples the blur and compound difficulty bands: a large dark
@@ -205,11 +215,12 @@ def make_sign(class_id: int, size: int = 48,
 
     absu, absv = np.abs(u), np.abs(v)
     rad2 = u * u + v * v
+    gs = C.get("glyph_scale", 1.0)
     if kind == "speed":
         put(rad2 <= r * r, red)
         put(rad2 <= (0.78 * r) ** 2, white)
         put((rad2 <= (0.78 * r) ** 2)
-            & _digit_mask(u, v, code, 1.30 * r, 1.10 * r), black)
+            & _digit_mask(u, v, code, gs * 1.30 * r, gs * 1.10 * r), black)
     elif kind == "warn":
         # upward triangle (apex top) with red border, cream interior,
         # glyph in the wide lower half
@@ -219,11 +230,11 @@ def make_sign(class_id: int, size: int = 48,
         put(tri(1.45), red)
         put(tri(1.05), white)
         put(tri(1.05) & _digit_mask(u, v - 0.22 * r, code,
-                                    0.95 * r, 0.80 * r), black)
+                                    gs * 0.95 * r, gs * 0.80 * r), black)
     elif kind == "blue":
         put(rad2 <= r * r, blue)
         put((rad2 <= (0.9 * r) ** 2)
-            & _digit_mask(u, v, code, 1.25 * r, 1.05 * r), white)
+            & _digit_mask(u, v, code, gs * 1.25 * r, gs * 1.05 * r), white)
     else:  # unique, code[0] selects the variant
         var = code[0]
         if var == 0:  # stop-like red octagon with white band
@@ -249,6 +260,21 @@ def make_sign(class_id: int, size: int = 48,
             hexm = (absv + 0.58 * absu) <= 1.1 * r
             put(hexm & (absu <= 0.95 * r), black)
             put((absv + 0.58 * absu <= 0.85 * r) & (absu <= 0.72 * r), white)
+
+    # optional directional motion smear (see CALIB["p_motion_smear"]):
+    # uniform average along a random-angle segment, done at supersampled
+    # resolution so sub-pixel lengths resolve
+    if rng.uniform() < C.get("p_motion_smear", 0.0):
+        ln = rng.uniform(*C["smear_len"]) * SS
+        thm = rng.uniform(0, np.pi)
+        k = max(2, int(ln))
+        acc = np.zeros_like(img)
+        for t in range(k):
+            off = (t - (k - 1) / 2) / max(k - 1, 1) * ln
+            dy = int(round(off * np.sin(thm)))
+            dx = int(round(off * np.cos(thm)))
+            acc += np.roll(np.roll(img, dy, 0), dx, 1)
+        img = acc / k
 
     # --- downscale (box filter over SS x SS) ---------------------------
     small = img.reshape(size, SS, size, SS, 3).mean((1, 3))
