@@ -212,7 +212,12 @@ def train_judge_on_device(
         log(f"Epoch {epoch + 1}/{cfg.epochs} train loss {float(mloss):.4f} "
             f"acc {float(macc):.4f} ({steps * bs / max(dt, 1e-9):.1f} img/s)")
         log(f"  val acc {val_acc:.4f}")
-        if val_acc > best_acc:
+        if val_acc >= best_acc:
+            # >= : on ties keep the LATEST state. The reference's strict >
+            # (ref:05:115) never ties in practice (39k-image val set);
+            # here the small val set saturates at 1.0 mid-run, and the
+            # first-saturation snapshot is a half-formed judge whose
+            # distortion robustness varies wildly run-to-run.
             best_acc = val_acc
             if save_path:
                 best_state = snapshot(state)
