@@ -21,7 +21,6 @@ Usage (real TPU):
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import shutil
 import sys

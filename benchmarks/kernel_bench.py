@@ -14,7 +14,6 @@ Usage: python benchmarks/kernel_bench.py [--batch 64] [--size 224]
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
