@@ -100,6 +100,8 @@ class JudgeTrainConfig:
     # judge ablation).
     optimizer: str = "sgd"
     weight_decay: float = 1e-4   # adamw only
+    warmup_steps: int = 300      # adamw only: linear lr warmup (stabilizes
+    #                              no-BN VGG16 from random init)
     train_split: float = 0.8     # ref:05:35-37
     from_scratch: bool = True    # ImageNet weights unobtainable offline; documented deviation
     label_smoothing: float = 0.0

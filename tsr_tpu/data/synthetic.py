@@ -64,21 +64,21 @@ CALIB = {
     # it overlaps the 12 px blur distortion's low end, so blur tolerance
     # becomes a property of the data instead of a training lottery —
     # without it the blur band swings 25-52% across runs (calib5 vs 11).
-    "p_motion_smear": 0.30,
-    "smear_len": (1.5, 5.0),   # pixels at native resolution
+    "p_motion_smear": 0.25,
+    "smear_len": (1.5, 4.5),   # pixels at native resolution
     # natural atmospheric veil (overcast/hazy capture) on clean images:
     # probability and transmittance range. The low end overlaps the fog
     # distortion's t in [0.1, 0.36] (ref:04:28 with intensity 0.8) so the
     # trained judge, like the reference's ImageNet-initialized one, treats
     # heavy contrast compression as in-distribution.
-    "p_veil": 0.30,
+    "p_veil": 0.10,
     "veil_t": (0.22, 0.85),
     # sign diameter as a fraction of the frame
     "diam_lo": 0.66,
     "diam_hi": 0.92,
     # glyph box scale: <1 shrinks the digit glyph (thinner strokes =>
     # additive noise bites harder while template/shape cues stay)
-    "glyph_scale": 1.0,
+    "glyph_scale": 0.9,
     # anti-correlation between native size and illumination gain (0 = off).
     # GTSRB's large crops skew to close-up dusk/shade captures; here the
     # knob decouples the blur and compound difficulty bands: a large dark

@@ -69,10 +69,20 @@ class TrainState(struct.PyTreeNode):
 
 def judge_optimizer(cfg: configs.JudgeTrainConfig):
     """SGD(lr=1e-3, momentum=0.9) (ref:05:60), or AdamW for the
-    from-scratch path (cfg.optimizer — see configs.JudgeTrainConfig)."""
+    from-scratch path (cfg.optimizer — see configs.JudgeTrainConfig).
+
+    The AdamW path adds linear warmup + global-norm clipping: a plain
+    (no-BN) VGG16 from random init otherwise collapses to chance on some
+    seeds — the exact fragility ImageNet init papered over in the
+    reference."""
     if cfg.optimizer == "adamw":
-        return optax.adamw(cfg.learning_rate,
-                           weight_decay=cfg.weight_decay)
+        sched = optax.linear_schedule(
+            0.0, cfg.learning_rate,
+            max(1, cfg.warmup_steps)) if cfg.warmup_steps else \
+            cfg.learning_rate
+        return optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adamw(sched, weight_decay=cfg.weight_decay))
     return optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
 
 
