@@ -367,3 +367,28 @@ def test_ssim_jit_matches_eager(rng):
     jit_val = float(np.asarray(image_ops.ssim(a, b))[0])
     eager_val = float(np.asarray(image_ops.ssim.__wrapped__(a, b, 255.0, 7))[0])
     assert abs(jit_val - eager_val) < 1e-5
+
+
+def test_multiscale_random_mix(rng):
+    """Native-resolution emulation: static group split, uint8 in/out,
+    groups with scale >= input size fall back to direct application."""
+    import jax
+
+    from tsr_tpu import configs
+    from tsr_tpu.ops import distortions
+
+    imgs = rng.integers(0, 256, (8, 64, 64, 3), dtype=np.uint8)
+    cfg = configs.RandomMixConfig(apply_scales=(16, 32, 48, 96),
+                                  blur_degree=(3, 7))
+    out = distortions.apply_random_distortions_multiscale(
+        jnp.asarray(imgs), jax.random.PRNGKey(0), cfg)
+    out = np.asarray(out)
+    assert out.shape == imgs.shape and out.dtype == np.uint8
+    # the pair helper routes through multiscale when apply_scales is set
+    bad01, clean01 = distortions.make_training_pair(
+        jnp.asarray(imgs), jax.random.PRNGKey(1), cfg)
+    assert bad01.shape == clean01.shape == imgs.shape
+    assert bad01.dtype == jnp.float32
+    # distortion actually happened for most samples (all three gates at
+    # p=0.5 => P(untouched) ~ 12.5% per sample)
+    assert np.abs(np.asarray(bad01) * 255 - imgs).max() > 10

@@ -70,6 +70,12 @@ class RandomMixConfig:
     noise_var: Tuple[float, float] = (0.01, 0.03)     # ref:14:47
     blur_degree: Tuple[int, int] = (5, 15)            # ref:14:54 (inclusive)
     blur_angle: Tuple[int, int] = (0, 360)            # ref:14:55 (inclusive)
+    # Emulated native resolutions for distortion application. The reference
+    # distorts native images BEFORE Resize(224) (ref:14:79-92), so blur
+    # radius / noise grain scale with the upsample factor; () = distort at
+    # the stored resolution (no emulation). The default spans the
+    # stand-in's (and GTSRB's) native crop sizes.
+    apply_scales: Tuple[int, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,7 +148,11 @@ class UnifiedTrainConfig:
     perceptual_weight: float = 0.1   # ref:14:242
     train_split: float = 0.95        # ref:14:209-211
     cosine_t_max: int = 25           # ref:14:223
-    mix: RandomMixConfig = dataclasses.field(default_factory=RandomMixConfig)
+    # native-resolution emulation ON for unified training (ref:14 distorts
+    # native files; the stand-in ships 40-104 px crops)
+    mix: RandomMixConfig = dataclasses.field(
+        default_factory=lambda: RandomMixConfig(
+            apply_scales=(40, 56, 80, 112)))
     seed: int = 0
 
 

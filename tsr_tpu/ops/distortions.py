@@ -284,13 +284,64 @@ def mild_fog(images, cfg: configs.MildConfig = configs.MildConfig()):
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def apply_random_distortions_multiscale(
+    clean_u8, key, cfg: configs.RandomMixConfig
+):
+    """Random mix applied at emulated NATIVE resolutions.
+
+    The reference distorts the native-resolution image and only then
+    resizes to 224 (ref:14:79-92; the offline trees ref:02/03/04 likewise
+    distort native files). Batches stored at the target resolution would
+    under-apply spatially-scaled distortions — a 10 px blur on a 224 px
+    image is a fraction of a 10 px blur on a 56 px native crop that later
+    gets upscaled 4x. Emulation: the batch is split into
+    ``len(cfg.apply_scales)`` static groups; each group is bilinearly
+    downsampled to its scale, distorted there (uint8 round-trip
+    preserved), and upsampled back. Group membership is fixed by position,
+    but training batches arrive freshly permuted each epoch, so per-sample
+    scales are effectively random. All shapes are static — the whole thing
+    stays inside one jitted step.
+    """
+    x, squeeze = _batched(clean_u8)
+    b, size = x.shape[0], x.shape[1]
+    scales = tuple(cfg.apply_scales)
+    n_g = len(scales)
+    g = b // n_g
+    keys = jax.random.split(key, n_g)
+    outs = []
+    start = 0
+    for i, s in enumerate(scales):
+        n = g + (b - g * n_g if i == n_g - 1 else 0)
+        sub = x[start:start + n]
+        start += n
+        if n == 0:
+            continue
+        if s >= size:
+            outs.append(apply_random_distortions(sub, keys[i], cfg))
+            continue
+        f = image_ops.to_float01(sub)
+        small = jax.image.resize(f, (n, s, s, f.shape[-1]), "linear")
+        small_u8 = image_ops.clip01_to_uint8(small)
+        bad_small = apply_random_distortions(small_u8, keys[i], cfg)
+        up = jax.image.resize(
+            image_ops.to_float01(bad_small),
+            (n, size, size, f.shape[-1]), "linear")
+        outs.append(image_ops.clip01_to_uint8(up))
+    return _debatch(jnp.concatenate(outs, axis=0), squeeze)
+
+
 def make_training_pair(clean_u8, key, cfg: configs.RandomMixConfig = configs.RandomMixConfig()):
     """(clean uint8 batch, key) -> (bad float01, clean float01).
 
     The on-device equivalent of ``DynamicDistortionDataset.__getitem__``
     (ref:14:75-93): distort, then convert both sides to the float [0,1]
     tensors the restorer trains on. Runs inside the jitted train step so
-    batch generation never touches the host.
+    batch generation never touches the host. With ``cfg.apply_scales``
+    set, distortions apply at emulated native resolutions (see
+    :func:`apply_random_distortions_multiscale`).
     """
-    bad_u8 = apply_random_distortions(clean_u8, key, cfg)
+    if cfg.apply_scales:
+        bad_u8 = apply_random_distortions_multiscale(clean_u8, key, cfg)
+    else:
+        bad_u8 = apply_random_distortions(clean_u8, key, cfg)
     return image_ops.to_float01(bad_u8), image_ops.to_float01(clean_u8)
