@@ -41,12 +41,37 @@ def main():
                    if f.suffix.lower() in gtsrb.IMG_EXTENSIONS)
     random.seed(args.seed)
     picks = random.sample(files, min(args.num_samples, len(files)))
-    batch = np.stack([gtsrb._decode_resize(str(f), args.image_size)
-                      for f in picks])
+
+    # Phase-1 distortions apply at NATIVE resolution (ref:13:147-169 works
+    # on the raw cv2 image; only the restoration tensor path resizes to
+    # 224, ref:13:176) — then every stage is resized for the 224 batch.
+    import cv2
+
+    from tsr_tpu import configs
+    from tsr_tpu.ops import distortions
+
+    mild = configs.MildConfig()
+    key = jax.random.PRNGKey(args.seed)
+    stage_imgs = {name: [] for name in
+                  ("Clean", "+ Blur", "+ Fog", "+ Noise (final bad)")}
+    for f in picks:
+        native = cv2.imread(str(f))[:, :, ::-1]
+        key, kn = jax.random.split(key)
+        x = np.ascontiguousarray(native)
+        blur = np.asarray(distortions.mild_blur(x, mild))
+        fog = np.asarray(distortions.mild_fog(blur, mild))
+        noise = np.asarray(distortions.mild_noise(fog, kn, mild))
+        for name, img in (("Clean", x), ("+ Blur", blur), ("+ Fog", fog),
+                          ("+ Noise (final bad)", noise)):
+            stage_imgs[name].append(cv2.resize(
+                img, (args.image_size, args.image_size),
+                interpolation=cv2.INTER_LINEAR))
+    stages = [(name, np.stack(imgs)) for name, imgs in stage_imgs.items()]
+    batch = stages[0][1]
 
     out = pipeline.cascade_stress(
         batch, unet.apply, restorer_vars, judge.apply, jv,
-        jax.random.PRNGKey(args.seed))
+        jax.random.PRNGKey(args.seed), precomputed_stages=stages)
 
     outdir = Path(args.out_dir)
     outdir.mkdir(exist_ok=True)

@@ -5,6 +5,7 @@ import random
 from pathlib import Path
 
 import jax
+import numpy as np
 
 from _common import (base_parser, ensure_clean_tree, judge_ckpt_path,
                      unified_ckpt_path)
@@ -36,8 +37,20 @@ def main():
     print(f"Sample: {pick.relative_to(clean_root)}")
     clean = gtsrb._decode_resize(str(pick), args.image_size)[None]
 
+    # compound distortion applies at native resolution (ref:15:170-174
+    # distorts the raw cv2 image; only the tensor path resizes to 224)
+    import cv2
+
+    from tsr_tpu.ops import distortions
+
+    native = np.ascontiguousarray(cv2.imread(str(pick))[:, :, ::-1])
+    bad_native = np.asarray(distortions.make_compound_distortion(
+        native, jax.random.PRNGKey(args.seed)))
+    bad = cv2.resize(bad_native, (args.image_size, args.image_size),
+                     interpolation=cv2.INTER_LINEAR)[None]
+
     out = pipeline.unified_demo(clean, resunet.apply, rv, judge.apply, jv,
-                                jax.random.PRNGKey(args.seed))
+                                jax.random.PRNGKey(args.seed), bad_u8=bad)
     j = out["judge"]
     caps = [
         f"Clean — pred {int(j['clean']['pred'][0])} "

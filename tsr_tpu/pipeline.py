@@ -50,27 +50,35 @@ def cascade_stress(
     judge_vars,
     key,
     mild: configs.MildConfig = configs.MildConfig(),
+    precomputed_stages=None,
 ) -> Dict[str, object]:
     """Run the 7-stage cascade on a uint8 batch.
 
     ``restorer_vars`` maps task name ('noise'/'fog'/'blur') to that
-    SimpleUNet's variables (ref:13:98-103).
+    SimpleUNet's variables (ref:13:98-103). ``precomputed_stages`` (a list
+    of four (name, uint8 batch) tuples) lets the caller supply phase-1
+    distortions applied at native resolution, matching ref:13:147-169.
 
     Returns dict with ``stages`` (list of (name, uint8 batch or float01
     batch)), per-stage ``pred``/``confidence`` arrays, and the three
     headline means (ref:13:226-238).
     """
     k1 = key
-    stages: List[Tuple[str, np.ndarray]] = [("Clean", clean_u8)]
-
-    # Phase 1: distort Blur -> Fog -> Noise, uint8 between stages
-    # (ref:13:153-169)
-    x = distortions.mild_blur(clean_u8, mild)
-    stages.append(("+ Blur", np.asarray(x)))
-    x = distortions.mild_fog(x, mild)
-    stages.append(("+ Fog", np.asarray(x)))
-    x = distortions.mild_noise(x, k1, mild)
-    stages.append(("+ Noise (final bad)", np.asarray(x)))
+    if precomputed_stages is not None:
+        # caller distorted at native resolution (ref:13:147-169 operates on
+        # the native cv2 image before any resize) and resized each stage
+        stages: List[Tuple[str, np.ndarray]] = list(precomputed_stages)
+        assert len(stages) == 4, "expect Clean/+Blur/+Fog/+Noise"
+    else:
+        stages = [("Clean", clean_u8)]
+        # Phase 1: distort Blur -> Fog -> Noise, uint8 between stages
+        # (ref:13:153-169)
+        x = distortions.mild_blur(clean_u8, mild)
+        stages.append(("+ Blur", np.asarray(x)))
+        x = distortions.mild_fog(x, mild)
+        stages.append(("+ Fog", np.asarray(x)))
+        x = distortions.mild_noise(x, k1, mild)
+        stages.append(("+ Noise (final bad)", np.asarray(x)))
 
     # Phase 2: cascade restore Noise -> Fog -> Blur, chaining the raw
     # (unclamped) float tensor between models (ref:13:174-189)
@@ -117,11 +125,15 @@ def unified_demo(
     judge_vars,
     key,
     cfg: configs.CompoundConfig = configs.CompoundConfig(),
+    bad_u8: np.ndarray = None,
 ) -> Dict[str, object]:
     """ref:15: compound distort (Fog->Noise->Blur), blind unified restore,
-    judge confidence on clean / bad / restored."""
-    bad_u8 = np.asarray(distortions.make_compound_distortion(
-        clean_u8, key, cfg))
+    judge confidence on clean / bad / restored. Pass ``bad_u8`` when the
+    compound distortion was applied at native resolution (ref:15:170-174
+    distorts the raw cv2 image before the Resize(224) transform)."""
+    if bad_u8 is None:
+        bad_u8 = np.asarray(distortions.make_compound_distortion(
+            clean_u8, key, cfg))
 
     @jax.jit
     def restore(variables, u8):
