@@ -18,6 +18,8 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--model", default=None)
     p.add_argument("--unified", default=None)
+    p.add_argument("--sample", default=None,
+                   help="relative path of the sample inside the clean tree (the reference hardcodes its demo sample, ref:15:20)")
     p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--out", default="unified_test_result.png")
     args = p.parse_args()
@@ -32,8 +34,12 @@ def main():
 
     files = sorted(f for f in clean_root.glob("*/*")
                    if f.suffix.lower() in gtsrb.IMG_EXTENSIONS)
-    random.seed(args.seed)
-    pick = random.choice(files)
+    if args.sample:
+        pick = clean_root / args.sample
+        assert pick.exists(), pick
+    else:
+        random.seed(args.seed)
+        pick = random.choice(files)
     print(f"Sample: {pick.relative_to(clean_root)}")
     clean = gtsrb._decode_resize(str(pick), args.image_size)[None]
 
