@@ -6,11 +6,16 @@ top-1 — as a single jitted graph (lax.scan over chunks, one dispatch per
 timed super-batch, data resident on device), in bfloat16 compute.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "training": {"judge_train_img_s": N, "unified_train_img_s": N}}
 
 ``vs_baseline`` divides by the torch CPU reference pipeline measured by
 benchmarks/torch_cpu_baseline.py (reference runs batch-restore ref:17:73-99
-then judge eval ref:06:49-55 at 224x224).
+then judge eval ref:06:49-55 at 224x224). The ``training`` block tracks the
+two training-path throughputs (device-resident judge epoch step,
+ref:05:75-87 equivalent; unified distort+L1+perceptual+AdamW step,
+ref:14:232-246 equivalent) so training-perf wins/regressions are captured
+round over round (VERDICT r2 task 7). Set TSR_BENCH_TRAIN=0 to skip them.
 """
 
 import json
@@ -21,16 +26,43 @@ import numpy as np
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-
-    from tsr_tpu.models import ResUNet, VGG16
-    from tsr_tpu.ops import image as image_ops
     from tsr_tpu.utils import profiling
 
     profiling.enable_compilation_cache()
 
     size = int(os.environ.get("TSR_BENCH_SIZE", "224"))
+    ips = _fused_eval_throughput(size)
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "cpu_baseline.json")
+    vs = float("nan")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)
+        vs = ips / ref["images_per_sec"]
+
+    out = {
+        "metric": "fused restore(ResUNet)->classify(VGG16) throughput, "
+                  f"{size}x{size} bf16, single chip",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2),
+    }
+    if os.environ.get("TSR_BENCH_TRAIN", "1") != "0":
+        # eval-path device buffers were dropped when _fused_eval_throughput
+        # returned; the training block gets a near-empty HBM.
+        out["training"] = _training_throughputs(size)
+    print(json.dumps(out))
+
+
+def _fused_eval_throughput(size):
+    import jax
+    import jax.numpy as jnp
+
+    from tsr_tpu.models import ResUNet, VGG16
+    from tsr_tpu.ops import image as image_ops
+
     batch = int(os.environ.get("TSR_BENCH_BATCH", "256"))
     chunks = int(os.environ.get("TSR_BENCH_CHUNKS", "4"))
     reps = int(os.environ.get("TSR_BENCH_REPS", "3"))
@@ -75,24 +107,71 @@ def main():
         int(fused(rv, jv, data)[1])
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    ips = chunks * batch / dt
+    return chunks * batch / dt
 
-    baseline_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "benchmarks", "cpu_baseline.json")
-    vs = float("nan")
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            ref = json.load(f)
-        vs = ips / ref["images_per_sec"]
 
-    print(json.dumps({
-        "metric": "fused restore(ResUNet)->classify(VGG16) throughput, "
-                  f"{size}x{size} bf16, single chip",
-        "value": round(ips, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(vs, 2),
-    }))
+def _training_throughputs(size, batch=64, steps=8):
+    """img/s of the two training hot paths, scanned on-device (bf16)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tsr_tpu import configs
+    from tsr_tpu.models import ResUNet, VGG16
+    from tsr_tpu.models.vgg import PERCEPTUAL_TAP
+    from tsr_tpu.train import common
+
+    rng = np.random.default_rng(1)
+    imgs = jax.device_put(rng.integers(
+        0, 256, (steps, batch, size, size, 3), dtype=np.uint8))
+    labels = jax.device_put(rng.integers(
+        0, 43, (steps, batch), dtype=np.int32))
+
+    def timed_scan(step_fn, state, per_step_args):
+        @jax.jit
+        def run(st, args):
+            def body(c, a):
+                st2, aux = step_fn(c, *a)
+                return st2, aux["loss"]
+            st, losses = jax.lax.scan(body, st, args)
+            return st, jnp.sum(losses)
+
+        float(run(state, per_step_args)[1])  # compile + warmup
+        t0 = time.perf_counter()
+        float(run(state, per_step_args)[1])
+        return steps * batch / (time.perf_counter() - t0)
+
+    # Judge training (ref:05:75-87 hot loop, device-resident equivalent).
+    jcfg = configs.JudgeTrainConfig(optimizer="adamw", learning_rate=3e-4,
+                                    batch_size=batch)
+    judge = VGG16(num_classes=43, dtype=jnp.bfloat16)
+    jv = judge.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, size, size, 3), jnp.float32))
+    jstate = common.TrainState.create(
+        judge.apply, jv, common.judge_optimizer(jcfg))
+    jstep = common.make_judge_train_step(jit=False)
+    keys = jax.random.split(jax.random.PRNGKey(2), steps)
+    judge_ips = timed_scan(jstep, jstate, (imgs, labels, keys))
+    del jstate, labels  # free the SGD/AdamW moments before the next graph
+
+    # Unified training (ref:14:232-246 hot loop: on-device distort +
+    # ResUNet + L1 + 0.1*perceptual + AdamW).
+    ucfg = configs.UnifiedTrainConfig(batch_size=batch)
+    resunet = ResUNet(dtype=jnp.bfloat16)
+    rv = resunet.init(jax.random.PRNGKey(1),
+                      jnp.zeros((2, size, size, 3), jnp.float32), train=True)
+    ustate = common.TrainState.create(
+        resunet.apply, rv, optax.adamw(2e-4, weight_decay=1e-4))
+
+    def vgg_apply(x01):
+        return judge.apply(jv, x01, train=False, tap_layer=PERCEPTUAL_TAP)
+
+    ustep = common.make_unified_train_step(
+        ucfg.mix, ucfg.perceptual_weight, vgg_apply, jit=False)
+    unified_ips = timed_scan(ustep, ustate, (imgs, keys))
+
+    return {"judge_train_img_s": round(judge_ips, 1),
+            "unified_train_img_s": round(unified_ips, 1)}
 
 
 if __name__ == "__main__":

@@ -10,7 +10,9 @@ table for RESULTS.md:
   ref-recipe      plain VGG16, SGD 1e-3, 10 ep   (the reference, no init)
   ref-recipe-long plain VGG16, SGD 1e-3, 80 ep
   bn-sgd          VGG16-BN,    SGD 1e-3, 80 ep
-  bn-adamw        VGG16-BN,  AdamW 3e-4, 80 ep   (the validated recipe)
+  bn-adamw        VGG16-BN,  AdamW 3e-4, 80 ep   (round-1 recipe, retired)
+  plain-adamw     plain VGG16, AdamW 3e-4 + warmup, 60 ep  (SHIPPING recipe
+                  — the ref's exact architecture; see RESULTS.md)
 
 Usage: python benchmarks/judge_ablation.py --work /tmp/tsr_calib9
        (expects <work>/clean from calibrate_standin.py)
@@ -40,6 +42,8 @@ RECIPES = {
                             epochs=80),
     "bn-sgd": dict(batchnorm=True, optimizer="sgd", lr=1e-3, epochs=80),
     "bn-adamw": dict(batchnorm=True, optimizer="adamw", lr=3e-4, epochs=80),
+    "plain-adamw": dict(batchnorm=False, optimizer="adamw", lr=3e-4,
+                        epochs=60),
 }
 
 

@@ -214,12 +214,18 @@ def resunet_from_pth(sd: Mapping[str, np.ndarray]):
     return freeze({"params": params, "batch_stats": stats})
 
 
-def vgg16_from_pth(sd: Mapping[str, np.ndarray], num_classes: int = 43):
+def vgg16_from_pth(sd: Mapping[str, np.ndarray], num_classes: int = 43,
+                   head_seed: int = 0):
     """torchvision-format VGG16 state dict -> flax variables.
 
     Works both for the fine-tuned judge (classifier.6 -> 43, ref:05:47-56)
-    and a stock ImageNet checkpoint. The first FC layer needs no channel
-    permutation because the Flax model flattens in torch's CHW order."""
+    and a stock ImageNet checkpoint: when the checkpoint's final-FC width
+    differs from ``num_classes`` (e.g. the 1000-class ImageNet head), the
+    head is re-initialized fresh at ``num_classes`` — the reference's
+    ``classifier[6] = Linear(4096, num_classes)`` swap (ref:05:54), using
+    torch's Linear default init (uniform ±1/sqrt(fan_in)). The first FC
+    layer needs no channel permutation because the Flax model flattens in
+    torch's CHW order."""
     params: Dict[str, Any] = {}
     for k, v in sd.items():
         if k.startswith("features.") and k.endswith(".weight"):
@@ -232,6 +238,17 @@ def vgg16_from_pth(sd: Mapping[str, np.ndarray], num_classes: int = 43):
                         (6, "classifier_6")):
         params[fname] = {"kernel": _dense_w(sd[f"classifier.{tidx}.weight"]),
                          "bias": sd[f"classifier.{tidx}.bias"]}
+    head = params["classifier_6"]
+    if head["kernel"].shape[1] != num_classes:
+        fan_in = head["kernel"].shape[0]
+        bound = 1.0 / np.sqrt(fan_in)
+        rng = np.random.default_rng(head_seed)
+        params["classifier_6"] = {
+            "kernel": rng.uniform(-bound, bound,
+                                  (fan_in, num_classes)).astype(np.float32),
+            "bias": rng.uniform(-bound, bound,
+                                num_classes).astype(np.float32),
+        }
     return freeze({"params": params})
 
 

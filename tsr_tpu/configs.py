@@ -72,8 +72,9 @@ class RandomMixConfig:
     blur_angle: Tuple[int, int] = (0, 360)            # ref:14:55 (inclusive)
     # Emulated native resolutions for distortion application. The reference
     # distorts native images BEFORE Resize(224) (ref:14:79-92), so blur
-    # radius / noise grain scale with the upsample factor; () = distort at
-    # the stored resolution (no emulation). The default spans the
+    # radius / noise grain scale with the upsample factor. The default ()
+    # means no emulation (distort at the stored resolution);
+    # UnifiedTrainConfig.mix enables (40, 56, 80, 112), spanning the
     # stand-in's (and GTSRB's) native crop sizes.
     apply_scales: Tuple[int, ...] = ()
 

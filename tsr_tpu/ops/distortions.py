@@ -330,6 +330,7 @@ def apply_random_distortions_multiscale(
     return _debatch(jnp.concatenate(outs, axis=0), squeeze)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def make_training_pair(clean_u8, key, cfg: configs.RandomMixConfig = configs.RandomMixConfig()):
     """(clean uint8 batch, key) -> (bad float01, clean float01).
 

@@ -181,8 +181,6 @@ def train_judge_on_device(
         (st, _), (ls, accs) = jax.lax.scan(body, (st, rng), perm)
         return st, jnp.mean(ls), jnp.mean(accs)
 
-    eval_fn = common.make_judge_eval_step()
-
     @jax.jit
     def val_fn(st, x, y, idxs, masks):
         def body(tot, args):
@@ -236,6 +234,10 @@ def _val_wrap_pad(va_idx: np.ndarray, bs: int):
     are exact."""
     va_idx = np.asarray(va_idx, np.int32)
     n = len(va_idx)
+    if n == 0:
+        raise ValueError(
+            "empty validation set — the train split left no val samples; "
+            "lower train_split or grow the dataset")
     vsteps = max(1, (n + bs - 1) // bs)
     pad = vsteps * bs - n
     idx = np.concatenate([va_idx, va_idx[:pad] if pad else va_idx[:0]])
