@@ -28,6 +28,15 @@ def main():
                    help="sgd = reference recipe (ref:05:60, assumes "
                         "ImageNet init); adamw = from-scratch alternative")
     p.add_argument("--batchnorm", action="store_true")
+    p.add_argument("--label-smoothing", type=float, default=0.0,
+                   help="CE label smoothing. A from-scratch judge that "
+                        "memorizes a small corpus is near-deterministically "
+                        "overconfident (max softmax ~1.0 everywhere); the "
+                        "reference's ImageNet-initialized judge is not "
+                        "(ref:13 reports mean clean confidence 0.981, mild-"
+                        "distorted 0.749). Smoothing restores a realistic "
+                        "confidence scale; argmax metrics are unaffected "
+                        "in expectation.")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay f32) — ~4x conv "
                         "throughput on the v5e MXU")
@@ -45,7 +54,8 @@ def main():
     args.save = args.save or judge_ckpt_path(args)
     cfg = configs.JudgeTrainConfig(
         batch_size=args.batch_size, epochs=args.epochs,
-        learning_rate=args.lr, optimizer=args.optimizer, seed=args.seed)
+        learning_rate=args.lr, optimizer=args.optimizer, seed=args.seed,
+        label_smoothing=args.label_smoothing)
 
     root = ensure_clean_tree(args)
     ds = gtsrb.ImageFolder(root, size=args.image_size)

@@ -4,11 +4,13 @@ Runs the per-sample correlation (the random-mix blur, ref:14:51-60) as 225
 scalar-weighted shifted accumulations on the VPU, one (sample, channel)
 plane per grid program, with the padded plane resident in VMEM.
 
-Measured on TPU v5e (64x224x224x3, 15x15 kernels, amortized in-graph):
-6.2 ms/batch vs 3.5 ms for XLA's grouped-conv lowering — XLA's MXU path
-wins on this chip, so ops.blur.filter2d keeps the grouped conv as default
-and this kernel is the tested alternative (useful where grouped convs
-lower poorly, and as the in-house reference for the VPU approach).
+Measured on TPU v5e (64x224x224x3, 15x15 kernels, amortized in-graph,
+benchmarks/kernel_bench.py): dense 3.88-3.94 ms/batch, sparse-tap
+3.49-3.82, XLA grouped conv 3.48-4.02 across sessions — sparse vs XLA is
+1.05x one day and 0.99x another, i.e. parity within relay noise. XLA
+stays the default (``ops.blur.filter2d``); select these via
+``TSR_BLUR_BACKEND=pallas_sparse|pallas_dense`` for A/B or on hardware
+where grouped convs lower poorly. Decision table: docs/DESIGN.md.
 
 Semantics match ``tsr_tpu.ops.blur.filter2d``: correlation (no kernel
 flip), reflect-101 border, anchor ``max_degree // 2``.

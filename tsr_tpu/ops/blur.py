@@ -132,6 +132,24 @@ def _filter2d_impl(images, kernels, max_degree):
     return out.reshape(h, w, b, c).transpose(2, 0, 1, 3)
 
 
+def _backend() -> str:
+    """Blur backend via TSR_BLUR_BACKEND: 'xla' (default), 'pallas_sparse',
+    or 'pallas_dense'.
+
+    Decision record (benchmarks/kernel_bench.py on v5e, 64-image batch,
+    K=15 per-sample kernels): sparse-tap Pallas vs XLA grouped conv
+    measured 3.82 vs 4.02 ms/batch (1.05x, pallas) in one session and
+    3.49 vs 3.48 ms/batch at 224 / 3.34 vs 3.43 at 56 (1.00x) in another —
+    the gap is inside run-to-run noise. XLA stays the default: equal
+    performance without the multi-minute first-touch Mosaic compile, and
+    the blur stage is ~2% of the unified train step either way. The Pallas
+    kernels remain selectable for A/B and for hardware where grouped convs
+    lower poorly. Full table: docs/DESIGN.md."""
+    import os
+
+    return os.environ.get("TSR_BLUR_BACKEND", "xla")
+
+
 def filter2d(images, kernels):
     """cv2.filter2D-parity correlation with per-sample kernels.
 
@@ -144,8 +162,22 @@ def filter2d(images, kernels):
 
     Note cv2.filter2D is *correlation*; no kernel flip is performed, matching
     ``lax.conv_general_dilated`` semantics.
+
+    Dispatch: see :func:`_backend`. The Pallas path applies only to
+    per-sample ``[B, K, K]`` kernels (the random-mix hot path,
+    ref:14:51-60) on a TPU backend; shared-kernel calls and CPU runs keep
+    the XLA grouped conv.
     """
     images = jnp.asarray(images, jnp.float32)
+    be = _backend()
+    per_sample = kernels.ndim == 3
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if per_sample and on_tpu and be in ("pallas_sparse", "pallas_dense"):
+        from tsr_tpu.kernels import blur_pallas
+
+        if be == "pallas_sparse":
+            return blur_pallas.filter2d_pallas_sparse(images, kernels)
+        return blur_pallas.filter2d_pallas(images, kernels)
     if kernels.ndim == 2:
         kernels = jnp.broadcast_to(
             kernels[None], (images.shape[0],) + kernels.shape
