@@ -1,7 +1,7 @@
-"""Decompose the unified train step's 318 ms (round 1) into its stages.
+"""Decompose the unified train step into its stages on the real chip.
 
-Times each sub-graph separately on the real chip so the hot stage is
-identified without xplane tooling:
+Times each sub-graph separately so the hot stage is identified without
+xplane tooling:
 
   distort   on-device random-mix pair generation (ref:14:31-64 equivalent)
   fwd       ResUNet forward only
@@ -10,29 +10,24 @@ identified without xplane tooling:
             term (ref:14:238-242)
   full      the shipped make_unified_train_step (L1 + 0.1*perceptual)
 
+Relay-correct timing: every row is amortized by a lax.scan of SCAN_STEPS
+iterations inside ONE jit (the axon relay's block_until_ready is async and
+per-call RTT is ~30 ms, so timing individual dispatches measures the
+network) and completion is forced by a device-side scalar fetch
+(utils.profiling.device_time).
+
 Usage: python benchmarks/train_profile.py [--batch 64] [--bf16] [--remat]
 """
 
 import argparse
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np  # noqa: E402
 
-
-def timeit(fn, *args, steps=6, **kw):
-    import jax
-
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / steps
+SCAN_STEPS = 6
 
 
 def main():
@@ -56,13 +51,11 @@ def main():
     profiling.enable_compilation_cache()
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     B, S = args.batch, args.size
-    mix = configs.RandomMixConfig()
+    mix = configs.UnifiedTrainConfig().mix  # shipping config (multiscale)
 
     model = ResUNet(dtype=dtype)
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, S, S, 3)),
                    train=True)
-    state = common.TrainState.create(
-        model.apply, v, optax.adamw(2e-4, weight_decay=1e-4))
 
     judge = VGG16(num_classes=43, dtype=dtype)
     jv = judge.init(jax.random.PRNGKey(1), jnp.zeros((1, S, S, 3)))
@@ -74,43 +67,65 @@ def main():
         0, 256, (B, S, S, 3), dtype=np.uint8))
     key = jax.random.PRNGKey(7)
     x01 = jax.jit(lambda c: image_ops.to_float01(c))(clean)
-    jax.block_until_ready(x01)
 
+    def fresh_state():
+        # donated steps invalidate their input buffers, which alias v:
+        # every row starts from a fresh copy
+        return common.TrainState.create(
+            model.apply, jax.tree.map(jnp.array, v),
+            optax.adamw(2e-4, weight_decay=1e-4))
+
+    def scanned_fn(fn, *fn_args):
+        """Amortize a stateless fn: scan SCAN_STEPS applications in-graph,
+        folding the iteration index in so XLA cannot CSE them away."""
+
+        @jax.jit
+        def run(*a):
+            def body(c, i):
+                out = fn(*a, i)
+                return c, jax.tree.leaves(out)[0].ravel()[0]
+            _, outs = jax.lax.scan(body, 0.0,
+                                   jnp.arange(SCAN_STEPS, dtype=jnp.int32))
+            return jnp.sum(outs)
+
+        dt = profiling.device_time(run, *fn_args, reps=3)
+        return dt / SCAN_STEPS
+
+    def scanned_step(step_fn, state, keys):
+        """Amortize a state-threaded train step via scan with state carry."""
+
+        @jax.jit
+        def run(st, ks):
+            def body(c, k):
+                st2, aux = step_fn(c, clean, k)
+                return st2, aux["loss"]
+            st, losses = jax.lax.scan(body, st, ks)
+            return jnp.sum(losses)
+
+        dt = profiling.device_time(run, state, keys, reps=3)
+        return dt / SCAN_STEPS
+
+    keys = jax.random.split(key, SCAN_STEPS)
     rows = []
 
-    f_distort = jax.jit(
-        lambda c, k: distortions.make_training_pair(c, k, mix))
-    rows.append(("distort", timeit(f_distort, clean, key)))
+    rows.append(("distort", scanned_fn(
+        lambda i: distortions.make_training_pair(
+            clean, jax.random.fold_in(key, i), mix)[0])))
 
-    f_fwd = jax.jit(lambda vars_, x: model.apply(vars_, x, train=False))
-    rows.append(("resunet_fwd", timeit(f_fwd, state.variables, x01)))
+    rows.append(("resunet_fwd", scanned_fn(
+        lambda i: model.apply(v, x01 + 0.0 * i, train=False))))
 
     step_l1 = common.make_unified_train_step(mix, 0.0, None,
-                                             remat=args.remat)
-    st = state
-    st, aux = step_l1(st, clean, key)
-    jax.block_until_ready(aux["loss"])
-    t0 = time.perf_counter()
-    for i in range(6):
-        st, aux = step_l1(st, clean, jax.random.fold_in(key, i))
-    jax.block_until_ready(aux["loss"])
-    rows.append(("step_l1_only", (time.perf_counter() - t0) / 6))
+                                             remat=args.remat, jit=False)
+    rows.append(("step_l1_only", scanned_step(step_l1, fresh_state(), keys)))
 
-    f_perc = jax.jit(
-        lambda a, b: jnp.mean((vgg_apply(a) - vgg_apply(b)) ** 2))
-    rows.append(("perc_fwd_x2", timeit(f_perc, x01, x01 * 0.5)))
+    rows.append(("perc_fwd_x2", scanned_fn(
+        lambda i: jnp.mean((vgg_apply(x01 + 0.0 * i)
+                            - vgg_apply(x01 * 0.5)) ** 2))))
 
     step_full = common.make_unified_train_step(mix, 0.1, vgg_apply,
-                                               remat=args.remat)
-    st2 = common.TrainState.create(
-        model.apply, v, optax.adamw(2e-4, weight_decay=1e-4))
-    st2, aux = step_full(st2, clean, key)
-    jax.block_until_ready(aux["loss"])
-    t0 = time.perf_counter()
-    for i in range(6):
-        st2, aux = step_full(st2, clean, jax.random.fold_in(key, i))
-    jax.block_until_ready(aux["loss"])
-    full = (time.perf_counter() - t0) / 6
+                                               remat=args.remat, jit=False)
+    full = scanned_step(step_full, fresh_state(), keys)
     rows.append(("step_full", full))
 
     print(f"batch={B} size={S} bf16={args.bf16} remat={args.remat}")

@@ -41,7 +41,8 @@ def main():
             judge.apply, jv, path, batch_size=args.batch_size,
             size=args.image_size, mesh=mesh)
         results[name] = r["top1"]
-        print(f"Result [{name}] Accuracy: {r['top1'] * 100:.2f}%")
+        print(f"Result [{name}] Accuracy: {r['top1'] * 100:.2f}% "
+              f"({r['images_per_sec']} img/s)")
     print(reporting.accuracy_report(results, "Final Test Report (Baseline 1)"))
 
 

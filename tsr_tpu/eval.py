@@ -90,6 +90,9 @@ def evaluate_batches(
     ``batch_iter`` yields (images_u8, labels) or (images_u8, labels,
     clean_u8). Returns aggregate top-1 (and mean PSNR/SSIM/confidence).
     """
+    import time
+
+    t0 = time.perf_counter()
     correct = total = 0
     psnrs, ssims, confs = [], [], []
     for batch in batch_iter:
@@ -102,7 +105,9 @@ def evaluate_batches(
         if with_metrics and "psnr" in out:
             psnrs.append(np.asarray(out["psnr"]))
             ssims.append(np.asarray(out["ssim"]))
+    dt = time.perf_counter() - t0
     res = {"top1": correct / max(total, 1), "n": total,
+           "images_per_sec": round(total / max(dt, 1e-9), 1),
            "confidence": float(np.mean(np.concatenate(confs)))
            if confs else float("nan")}
     if psnrs:

@@ -171,8 +171,11 @@ def restore_tree(
                        drop_remainder=False, epochs=1,
                        transform=to_device)
 
+    import time
+
     psnrs, ssims = [], []
     n = 0
+    t0 = time.perf_counter()
     pending = None  # (out_device, path_slice): fetch AFTER dispatching next
 
     def drain(writer):
@@ -197,7 +200,11 @@ def restore_tree(
         if pending is not None:
             drain(writer)
 
-    res: Dict[str, float] = {"images": n}
+    dt = time.perf_counter() - t0
+    res: Dict[str, float] = {"images": n,
+                             "images_per_sec": round(n / max(dt, 1e-9), 1)}
+    log(f"Restored {n} images in {dt:.1f}s "
+        f"({res['images_per_sec']} img/s, decode+restore+encode pipelined)")
     if psnrs:
         pv = np.concatenate([np.asarray(p)[m] for p, m in psnrs])
         sv = np.concatenate([np.asarray(s)[m] for s, m in ssims])
