@@ -35,8 +35,14 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--bf16", action="store_true")
-    p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat", nargs="?", const="full",
+                   choices=["none", "vgg", "full"], default="none",
+                   help="rematerialization placement: 'vgg' checkpoints "
+                        "only the perceptual branch (buys bs128 on 16 GB "
+                        "without recomputing the ResUNet); 'full' is the "
+                        "whole-fwd checkpoint")
     args = p.parse_args()
+    args.remat = {"none": False, "full": True, "vgg": "vgg"}[args.remat]
 
     import jax
     import jax.numpy as jnp

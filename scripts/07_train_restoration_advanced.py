@@ -36,6 +36,10 @@ def main():
                    help="stream batches from host per step instead of the "
                         "device-resident scanned-epoch loop")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--identity-frac", type=float, default=0.0,
+                   help="fraction of extra clean->clean training pairs "
+                        "(identity anchor; see scripts/07). 0 reproduces "
+                        "the reference recipe exactly.")
     args = p.parse_args()
     if args.judge is None:
         args.judge = judge_ckpt_path(args)
@@ -76,6 +80,18 @@ def main():
     fits = 2 * len(ds) * args.image_size ** 2 * 3 < 8e9
     if fits and mesh is None and not args.host_stream:
         bad, clean_arr = ds.load_batch(range(len(ds)))
+        if args.identity_frac > 0:
+            import numpy as np
+            rng = np.random.default_rng(cfg.seed)
+            n_id = int(round(len(tr_idx) * args.identity_frac))
+            pick = rng.choice(tr_idx, n_id, replace=False)
+            n0 = len(bad)
+            bad = np.concatenate([bad, clean_arr[pick]])
+            clean_arr = np.concatenate([clean_arr, clean_arr[pick]])
+            tr_idx = np.concatenate(
+                [tr_idx, np.arange(n0, n0 + n_id, dtype=tr_idx.dtype)])
+            print(f"Identity anchor: +{n_id} clean->clean train pairs "
+                  f"({args.identity_frac:.0%})")
         loops.train_restorer_on_device(
             state, bad, clean_arr, tr_idx, va_idx, epochs=cfg.epochs,
             batch_size=cfg.batch_size, pixel="l1",

@@ -119,12 +119,22 @@ def test_unified_step_with_remat():
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)), train=True)
     imgs, _ = synthetic.make_dataset(num_classes=4, per_class=2, size=32)
     key = jax.random.PRNGKey(0)
+
+    # tiny frozen VGG-ish feature fn so the "vgg" placement has a branch
+    # to checkpoint
+    import flax.linen as nn
+    feat = nn.Conv(4, (3, 3))
+    fv = feat.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+    vgg_apply = lambda x: feat.apply(fv, x)  # noqa: E731
+
     losses = []
-    for remat in (False, True):
+    for remat in (False, True, "vgg"):
         v_copy = jax.tree.map(jnp.array, v)
         state = common.TrainState.create(m.apply, v_copy, optax.adamw(1e-3))
         step = common.make_unified_train_step(
-            configs.RandomMixConfig(), remat=remat)
+            configs.RandomMixConfig(), perceptual_weight=0.1,
+            vgg_apply=vgg_apply, remat=remat)
         state, aux = step(state, imgs, key)
         losses.append(float(aux["loss"]))
     assert np.isclose(losses[0], losses[1], rtol=1e-5), losses
+    assert np.isclose(losses[0], losses[2], rtol=1e-5), losses

@@ -191,7 +191,7 @@ def make_unified_train_step(
     mix_cfg: configs.RandomMixConfig,
     perceptual_weight: float = 0.1,
     vgg_apply: Optional[Callable] = None,
-    remat: bool = False,
+    remat=False,
     jit: bool = True,
 ):
     """Unified ResUNet step with **on-device** distortion generation.
@@ -201,6 +201,16 @@ def make_unified_train_step(
     8-worker CPU generation (ref:14:213). BatchNorm batch_stats are updated
     via the mutable collection; under a sharded batch the batch-mean
     reductions become cross-device collectives automatically.
+
+    ``remat`` selects the rematerialization placement:
+      - ``False``: none — fastest when the batch fits HBM.
+      - ``"vgg"``: checkpoint only the perceptual-VGG branch that needs
+        input grads. The frozen VGG's early 224^2x64 activations are the
+        dominant HBM residents (~0.8 GB/tensor at bs128 bf16) and cost one
+        cheap extra fwd to recompute — this buys batch 128 on 16 GB
+        without recomputing the ResUNet.
+      - ``True``: full-fwd checkpoint (ResUNet too) — most memory-frugal,
+        pays a full extra restorer forward.
     """
 
     def step(state: TrainState, clean_u8, key):
@@ -214,15 +224,20 @@ def make_unified_train_step(
             )
             return out, new_vars["batch_stats"]
 
-        if remat:
+        if remat is True:
             fwd = jax.checkpoint(fwd)
 
         def loss_fn(params):
             pred, new_bs = fwd(params, state.batch_stats, bad01)
             perc = None
             if vgg_apply is not None:
+                vgg_a = (jax.checkpoint(vgg_apply) if remat == "vgg"
+                         else vgg_apply)
                 perc = lambda a, b: jnp.mean(  # noqa: E731
-                    (vgg_apply(a) - vgg_apply(b)) ** 2)
+                    # the clean-branch features are constant wrt params —
+                    # stop_gradient makes that explicit so no activations
+                    # are kept for it
+                    (vgg_a(a) - jax.lax.stop_gradient(vgg_apply(b))) ** 2)
             loss, aux = losses.restoration_loss(
                 pred, clean01, perceptual=perc,
                 perceptual_weight=perceptual_weight, pixel="l1")

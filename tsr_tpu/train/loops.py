@@ -374,15 +374,23 @@ def train_unified_on_device(
     save_path: Optional[str] = None,
     log: Callable[[str], None] = print,
     ckpt_config: Optional[dict] = None,
+    remat=None,
 ):
     """Unified ResUNet training (ref:14:227-267) with the clean tree in HBM
     and scanned epochs; the random-mix distortion already runs on-device
-    inside the step, so this removes the last host round-trips."""
+    inside the step, so this removes the last host round-trips.
+
+    ``remat`` (None = auto): rematerialization placement passed through to
+    :func:`common.make_unified_train_step`. Auto selects ``"vgg"`` for
+    batches >64 with a perceptual term (the frozen-VGG activations are
+    what overflows 16 GB HBM there) and no remat otherwise."""
     import jax.numpy as jnp
 
     from tsr_tpu.ops import distortions
 
     bs = cfg.batch_size
+    if remat is None:
+        remat = "vgg" if (vgg_apply is not None and bs > 64) else False
     clean_d = jax.device_put(np.ascontiguousarray(clean_u8))
     tr_idx = np.asarray(tr_idx, np.int32)
     steps = len(tr_idx) // bs
@@ -394,7 +402,7 @@ def train_unified_on_device(
     va_mask_d = jax.device_put(va_mask)
 
     step_fn = common.make_unified_train_step(
-        cfg.mix, cfg.perceptual_weight, vgg_apply, jit=False)
+        cfg.mix, cfg.perceptual_weight, vgg_apply, remat=remat, jit=False)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch_fn(st, clean, idx, rng):
