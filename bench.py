@@ -110,8 +110,13 @@ def _fused_eval_throughput(size):
     return chunks * batch / dt
 
 
-def _training_throughputs(size, batch=64, steps=8):
-    """img/s of the two training hot paths, scanned on-device (bf16)."""
+def _training_throughputs(size, batch=64, steps=8, unified_batch=128):
+    """img/s of the two training hot paths, scanned on-device (bf16).
+
+    The unified step runs at its measured-optimal config — batch 128 with
+    the selective vgg-branch remat (benchmarks/train_profile.py sweep,
+    RESULTS.md roofline: 371.7 img/s vs 283.7 at batch 64; batch 192
+    overflows 16 GB HBM)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -127,7 +132,7 @@ def _training_throughputs(size, batch=64, steps=8):
     labels = jax.device_put(rng.integers(
         0, 43, (steps, batch), dtype=np.int32))
 
-    def timed_scan(step_fn, state, per_step_args):
+    def timed_scan(step_fn, state, per_step_args, bs=batch):
         @jax.jit
         def run(st, args):
             def body(c, a):
@@ -139,7 +144,7 @@ def _training_throughputs(size, batch=64, steps=8):
         float(run(state, per_step_args)[1])  # compile + warmup
         t0 = time.perf_counter()
         float(run(state, per_step_args)[1])
-        return steps * batch / (time.perf_counter() - t0)
+        return steps * bs / (time.perf_counter() - t0)
 
     # Judge training (ref:05:75-87 hot loop, device-resident equivalent).
     jcfg = configs.JudgeTrainConfig(optimizer="adamw", learning_rate=3e-4,
@@ -156,7 +161,9 @@ def _training_throughputs(size, batch=64, steps=8):
 
     # Unified training (ref:14:232-246 hot loop: on-device distort +
     # ResUNet + L1 + 0.1*perceptual + AdamW).
-    ucfg = configs.UnifiedTrainConfig(batch_size=batch)
+    uimgs = jax.device_put(rng.integers(
+        0, 256, (steps, unified_batch, size, size, 3), dtype=np.uint8))
+    ucfg = configs.UnifiedTrainConfig(batch_size=unified_batch)
     resunet = ResUNet(dtype=jnp.bfloat16)
     rv = resunet.init(jax.random.PRNGKey(1),
                       jnp.zeros((2, size, size, 3), jnp.float32), train=True)
@@ -167,8 +174,8 @@ def _training_throughputs(size, batch=64, steps=8):
         return judge.apply(jv, x01, train=False, tap_layer=PERCEPTUAL_TAP)
 
     ustep = common.make_unified_train_step(
-        ucfg.mix, ucfg.perceptual_weight, vgg_apply, jit=False)
-    unified_ips = timed_scan(ustep, ustate, (imgs, keys))
+        ucfg.mix, ucfg.perceptual_weight, vgg_apply, remat="vgg", jit=False)
+    unified_ips = timed_scan(ustep, ustate, (uimgs, keys), bs=unified_batch)
 
     return {"judge_train_img_s": round(judge_ips, 1),
             "unified_train_img_s": round(unified_ips, 1)}

@@ -15,8 +15,17 @@ CKPT=$WORKDIR/ckpt
 # (see RESULTS.md judge ablation). Training runs device-resident in bf16.
 EPOCHS_JUDGE=${EPOCHS_JUDGE:-60}
 LR_JUDGE=${LR_JUDGE:-3e-4}
+# Judge CE label smoothing. Keep 0: the calibration sweep (docs/
+# CALIBRATION.md r3) found even LS 0.05 collapses off-distribution
+# confidence to ~0.56 (below the ref:13 mild band) while inflating
+# noise/fog/compound robustness out of their bands.
+LS_JUDGE=${LS_JUDGE:-0}
 EPOCHS_REST=${EPOCHS_REST:-15}
 EPOCHS_UNI=${EPOCHS_UNI:-25}
+# Identity-anchor fraction for the specialized restorers: a slice of each
+# batch trains on (clean -> clean) so the restorers do no harm on mild or
+# clean inputs instead of over-correcting (ref:13 cascade regime).
+ID_FRAC=${ID_FRAC:-0.25}
 ARGS="--clean-dir $CLEAN --image-size 224 --ckpt-dir $CKPT"
 
 mkdir -p $WORKDIR && cd $WORKDIR
@@ -30,13 +39,14 @@ python $REPO/scripts/04_gen_fog.py $ARGS
 python $REPO/scripts/16_gen_compound_data.py $ARGS
 echo "=== [5] judge ==="
 python $REPO/scripts/05_train_baseline.py $ARGS --bf16 \
-  --optimizer adamw --epochs $EPOCHS_JUDGE --lr $LR_JUDGE --batch-size 64
+  --optimizer adamw --epochs $EPOCHS_JUDGE --lr $LR_JUDGE --batch-size 64 \
+  --label-smoothing $LS_JUDGE
 echo "=== [6] baseline eval ==="
 python $REPO/scripts/06_test_baseline.py $ARGS
 echo "=== [7] specialized restorers ==="
-python $REPO/scripts/07_train_restoration.py $ARGS --bf16 --task noise --epochs $EPOCHS_REST
-python $REPO/scripts/07_train_restoration.py $ARGS --bf16 --task fog --epochs $EPOCHS_REST
-python $REPO/scripts/07_train_restoration_advanced.py $ARGS --bf16 --task blur --epochs $EPOCHS_REST
+python $REPO/scripts/07_train_restoration.py $ARGS --bf16 --task noise --epochs $EPOCHS_REST --identity-frac $ID_FRAC
+python $REPO/scripts/07_train_restoration.py $ARGS --bf16 --task fog --epochs $EPOCHS_REST --identity-frac $ID_FRAC
+python $REPO/scripts/07_train_restoration_advanced.py $ARGS --bf16 --task blur --epochs $EPOCHS_REST --identity-frac $ID_FRAC
 echo "=== [8] restore + PSNR/SSIM ==="
 python $REPO/scripts/08_run_inference.py $ARGS
 echo "=== [9] restoration eval ==="

@@ -99,3 +99,28 @@ def test_pil_resize_backend(tmp_path):
     got_cv2 = gtsrb._decode_resize(str(p), 224)
     # Downscale: the two backends genuinely differ (PIL antialiases).
     assert np.abs(got_cv2.astype(int) - want.astype(int)).max() > 1
+
+
+def test_small_native_tail(tmp_path):
+    """CALIB['size_small_frac'] routes that share of tree images to the
+    GTSRB-like small-crop range (docs/CALIBRATION.md r3 finding 8)."""
+    import cv2
+
+    old = dict(synthetic.CALIB)
+    try:
+        synthetic.CALIB["size_small_frac"] = 0.5
+        synthetic.CALIB["size_small_range"] = (26.0, 40.0)
+        root = tmp_path / "tail"
+        synthetic.write_image_tree(str(root), num_classes=4, per_class=24,
+                                   size=72, seed=3, size_jitter=0.45)
+        sizes = np.array([cv2.imread(str(p)).shape[0]
+                          for p in sorted(root.glob("*/*.ppm"))])
+        small = ((sizes >= 26) & (sizes <= 40)).mean()
+        # 48 Bernoulli(0.5) draws: [0.25, 0.75] is > 6 sigma
+        assert 0.25 <= small <= 0.75, small
+        # the large branch is untouched: sizes above 40 still span the
+        # jitter range around 72
+        assert sizes.max() > 80
+    finally:
+        synthetic.CALIB.clear()
+        synthetic.CALIB.update(old)

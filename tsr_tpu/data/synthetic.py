@@ -72,7 +72,20 @@ CALIB = {
     # trained judge, like the reference's ImageNet-initialized one, treats
     # heavy contrast compression as in-distribution.
     "p_veil": 0.10,
-    "veil_t": (0.22, 0.85),
+    # r3 calibration: lower bound 0.22 -> 0.30 moved fog from 81.5% into
+    # the reference band (56.0%, target [50,70]) with every other band
+    # holding (config B2, docs/CALIBRATION.md r3 sweep)
+    "veil_t": (0.30, 0.85),
+    # small-native tail: GTSRB's crop-size distribution is heavily
+    # bottom-skewed (most crops are 25-50 px), which the symmetric
+    # size_jitter draw misses. Without it the compound band has a
+    # structural floor (docs/CALIBRATION.md r3 finding 8): blur-10 at
+    # >40 px natives never destroys the sign *template*, so group-level
+    # reading keeps compound accuracy at 14-16% vs the reference's 5.8%.
+    # size_small_frac routes that fraction of tree images to a uniform
+    # draw over size_small_range native pixels (see write_image_tree).
+    "size_small_frac": 0.0,
+    "size_small_range": (26.0, 40.0),
     # sign diameter as a fraction of the frame
     "diam_lo": 0.66,
     "diam_hi": 0.92,
@@ -344,7 +357,13 @@ def write_image_tree(root: str, num_classes: int = 8, per_class: int = 6,
             gain_u = None
             if size_jitter > 0:
                 sq = rng.uniform()  # size quantile, 1 = largest
-                s = int(round(size * (1 + size_jitter * (2 * sq - 1))))
+                frac = CALIB.get("size_small_frac", 0.0)
+                if frac > 0 and rng.uniform() < frac:
+                    lo, hi = CALIB.get("size_small_range", (26.0, 40.0))
+                    s = int(round(rng.uniform(lo, hi)))
+                    sq = 0.0  # smallest quantile for the anticorr blend
+                else:
+                    s = int(round(size * (1 + size_jitter * (2 * sq - 1))))
                 s = max(s, 24)
                 a = CALIB.get("size_gain_anticorr", 0.0)
                 if a > 0:
