@@ -20,14 +20,43 @@ round over round (VERDICT r2 task 7). Set TSR_BENCH_TRAIN=0 to skip them.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
+def _wait_for_backend(attempts=3, wait_s=600):
+    """Bounded retry for the axon TPU relay (VERDICT r3 weak-1).
+
+    The relay dies for 1h+ stretches; round 3's driver bench capture hit
+    one and recorded rc=1 instead of a number. Probe the backend in a
+    killable subprocess (an in-process hang can't be retried) and back off
+    between attempts. Returns silently after the last attempt either way —
+    the real run then produces the authoritative error if still down.
+    """
+    attempts = int(os.environ.get("TSR_BENCH_RETRIES", str(attempts)))
+    wait_s = float(os.environ.get("TSR_BENCH_RETRY_WAIT", str(wait_s)))
+    probe = "import jax; jax.devices()"
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=180)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            print(f"[bench] TPU backend unavailable (attempt {i + 1}/"
+                  f"{attempts}); retrying in {wait_s:.0f}s", file=sys.stderr)
+            time.sleep(wait_s)
+
+
 def main():
     from tsr_tpu.utils import profiling
 
+    _wait_for_backend()
     profiling.enable_compilation_cache()
 
     size = int(os.environ.get("TSR_BENCH_SIZE", "224"))

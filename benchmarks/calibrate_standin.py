@@ -115,15 +115,18 @@ def mild_stress_confidence(judge_apply, judge_vars, clean_root: Path,
             kn, mild))
         finals.extend(_resize(img, image_size) for img in bad)
 
-    batch = np.stack(finals)
-    logits = judge_apply(
-        judge_vars,
-        image_ops.imagenet_normalize(image_ops.to_float01(batch)),
-        train=False)
     import jax.numpy as jnp
 
-    conf = jnp.max(jax.nn.softmax(logits, -1), -1)
-    return float(jnp.mean(conf))
+    batch = np.stack(finals)
+    confs = []
+    for i in range(0, len(batch), batch_hint):  # chunked: bounds HBM use
+        logits = judge_apply(
+            judge_vars,
+            image_ops.imagenet_normalize(
+                image_ops.to_float01(batch[i:i + batch_hint])),
+            train=False)
+        confs.append(np.asarray(jnp.max(jax.nn.softmax(logits, -1), -1)))
+    return float(np.mean(np.concatenate(confs)))
 
 
 def run_once(args, seed: int) -> dict:

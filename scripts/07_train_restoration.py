@@ -71,8 +71,16 @@ def main():
             print(f"Resumed from {save} at step {int(state.step)}")
 
     mesh = mesh_from_args(args)
-    # both trees resident: 2 trees x N x S^2 x 3 bytes
-    fits = 2 * len(ds) * args.image_size ** 2 * 3 < 8e9
+    # both trees resident: 2 trees x N x S^2 x 3 bytes, plus the identity
+    # anchor's clean->clean duplicates (train_split * identity_frac of N,
+    # appended to BOTH trees below)
+    n_eff = len(ds) * (1.0 + args.identity_frac * cfg.train_split)
+    fits = 2 * n_eff * args.image_size ** 2 * 3 < 8e9
+    if args.identity_frac > 0 and not (fits and mesh is None
+                                       and not args.host_stream):
+        print("WARNING: --identity-frac only applies to the device-resident "
+              "loop; this run streams from host (doesn't fit HBM, --mesh, "
+              "or --host-stream) and trains WITHOUT the identity anchor.")
     if fits and mesh is None and not args.host_stream:
         bad, clean = ds.load_batch(range(len(ds)))
         if args.identity_frac > 0:

@@ -77,7 +77,14 @@ def main():
         unet.apply, variables, common.advanced_optimizer(cfg))
 
     mesh = mesh_from_args(args)
-    fits = 2 * len(ds) * args.image_size ** 2 * 3 < 8e9
+    # resident size includes the identity anchor's duplicates (see 07)
+    n_eff = len(ds) * (1.0 + args.identity_frac * cfg.train_split)
+    fits = 2 * n_eff * args.image_size ** 2 * 3 < 8e9
+    if args.identity_frac > 0 and not (fits and mesh is None
+                                       and not args.host_stream):
+        print("WARNING: --identity-frac only applies to the device-resident "
+              "loop; this run streams from host (doesn't fit HBM, --mesh, "
+              "or --host-stream) and trains WITHOUT the identity anchor.")
     if fits and mesh is None and not args.host_stream:
         bad, clean_arr = ds.load_batch(range(len(ds)))
         if args.identity_frac > 0:

@@ -1,0 +1,69 @@
+"""Tiny-tree full user journey over the numbered scripts (VERDICT r3 task 6).
+
+Drives the reference's documented workflow (ref README.md:133-144) —
+01 data -> 02 noise tree -> 05 judge -> 07 restorer -> 08 restore ->
+09 accuracy report — end-to-end as subprocesses on a 2-class x 4-image
+32 px tree, asserting each stage's artifacts exist and parse. This covers
+the user-facing script surface that unit tests (library API) and
+demo_run.sh (manual, TPU) don't.
+"""
+
+import os
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}")
+
+
+def run(script, *extra, cwd, common):
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / script), *common, *extra],
+        capture_output=True, text=True, env=ENV, cwd=str(cwd), timeout=900)
+    assert r.returncode == 0, f"{script}\n{r.stdout[-1500:]}\n{r.stderr[-2500:]}"
+    return r.stdout
+
+
+def test_numbered_script_journey(tmp_path):
+    clean = tmp_path / "data" / "gtsrb" / "Training"
+    ckpt = tmp_path / "ckpt"
+    common = ["--clean-dir", str(clean), "--ckpt-dir", str(ckpt),
+              "--image-size", "32", "--synthetic",
+              "--synthetic-classes", "2", "--synthetic-per-class", "4"]
+
+    out = run("01_download_data.py", cwd=tmp_path, common=common)
+    assert "Data ready" in out
+    n_clean = len(list(clean.glob("*/*")))
+    assert n_clean == 8
+
+    run("02_gen_noise.py", cwd=tmp_path, common=common)
+    noise = tmp_path / "data" / "processed" / "Noise"
+    assert len(list(noise.glob("*/*"))) == 8
+
+    run("05_train_baseline.py", "--epochs", "2", "--batch-size", "4",
+        "--optimizer", "adamw", cwd=tmp_path, common=common)
+    assert (ckpt / "vgg16_baseline").exists()
+
+    run("07_train_restoration.py", "--task", "noise", "--epochs", "1",
+        "--batch-size", "4", "--identity-frac", "0.25",
+        cwd=tmp_path, common=common)
+    assert (ckpt / "restoration_noise").exists()
+
+    out = run("08_run_inference.py", "--tasks", "noise", "--batch-size", "4",
+              cwd=tmp_path, common=common)
+    restored = tmp_path / "data" / "restored" / "Noise"
+    assert len(list(restored.glob("*/*"))) == 8, out
+    assert re.search(r"PSNR", out), out
+
+    out = run("09_test_baseline.py", "--batch-size", "4",
+              cwd=tmp_path, common=common)
+    accs = re.findall(r"Result \[(.+?)\] Accuracy: ([0-9.]+)%", out)
+    names = [n for n, _ in accs]
+    assert any("Clean" in n for n in names), out
+    assert any("Noise (Distorted)" in n for n in names), out
+    assert any("Noise" in n and "Restored" in n for n in names), out
+    for _, v in accs:
+        assert 0.0 <= float(v) <= 100.0

@@ -75,3 +75,68 @@ def test_write_png_batch_bad_dir_raises(tmp_path):
     with pytest.raises(RuntimeError):
         native.write_png_batch([str(tmp_path / "no" / "dir" / "x.png")],
                                np.zeros((1, 8, 8, 3), np.uint8))
+
+
+def test_png_decode_matches_cv2(tmp_path):
+    """Native PNG decode parity vs cv2 across encoders and filter choices."""
+    import cv2
+
+    rng = np.random.RandomState(3)
+    # gradient-ish content so cv2's encoder exercises Sub/Up/Avg/Paeth
+    # filters, plus pure noise (filter None wins there)
+    ramp = (np.arange(40)[:, None, None] * 5
+            + np.arange(56)[None, :, None] * 3
+            + np.arange(3)[None, None, :] * 7).astype(np.uint8)
+    noise = rng.randint(0, 256, (33, 47, 3), np.uint8)
+    for name, img in (("ramp", ramp), ("noise", noise)):
+        for level in (0, 1, 6, 9):
+            p = str(tmp_path / f"{name}_{level}.png")
+            cv2.imwrite(p, img[:, :, ::-1],
+                        [cv2.IMWRITE_PNG_COMPRESSION, level])
+            ours = native.decode(p)
+            np.testing.assert_array_equal(ours, img, err_msg=p)
+
+
+def test_png_decode_color_types(tmp_path):
+    """Gray (type 0), palette (3) and RGBA (6) PNGs decode to cv2-equal RGB."""
+    import cv2
+    from PIL import Image
+
+    rng = np.random.RandomState(4)
+    gray = rng.randint(0, 256, (21, 30), np.uint8)
+    p = str(tmp_path / "gray.png")
+    cv2.imwrite(p, gray)
+    ref = cv2.imread(p)[:, :, ::-1]  # cv2 replicates gray into RGB
+    np.testing.assert_array_equal(native.decode(p), ref)
+
+    rgba = rng.randint(0, 256, (18, 25, 4), np.uint8)
+    p = str(tmp_path / "rgba.png")
+    Image.fromarray(rgba, "RGBA").save(p)
+    np.testing.assert_array_equal(native.decode(p), rgba[:, :, :3])
+
+    pal = Image.fromarray(rng.randint(0, 256, (16, 16, 3), np.uint8)).convert(
+        "P", palette=Image.ADAPTIVE, colors=64)
+    p = str(tmp_path / "pal.png")
+    pal.save(p)
+    np.testing.assert_array_equal(native.decode(p),
+                                  np.asarray(pal.convert("RGB")))
+
+
+def test_load_batch_png_tree(tmp_path):
+    """load_batch on a .png tree (the restored-tree hot path, ref:09:15-26)."""
+    import cv2
+
+    rng = np.random.RandomState(5)
+    paths = []
+    imgs = []
+    for k in range(6):
+        img = rng.randint(0, 256, (30 + k, 40 + k, 3), np.uint8)
+        p = str(tmp_path / f"i{k}.png")
+        cv2.imwrite(p, img[:, :, ::-1])
+        paths.append(p)
+        imgs.append(img)
+    ours = native.load_batch(paths, 32, threads=3)
+    for i, img in enumerate(imgs):
+        ref = cv2.resize(img, (32, 32), interpolation=cv2.INTER_LINEAR)
+        diff = np.abs(ours[i].astype(int) - ref.astype(int))
+        assert diff.max() <= 1, (paths[i], diff.max())

@@ -104,14 +104,17 @@ def _decode_resize(path: str, size: int) -> np.ndarray:
     return np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
 
 
-_NATIVE_EXTS = (".ppm", ".bmp")
+_NATIVE_EXTS = (".ppm", ".bmp", ".png")
 
 
 def _decode_resize_batch(paths: Sequence[str], size: int,
                          threads: int = 8) -> np.ndarray:
     """Batch decode+resize; uses the native C++ loader (tsr_tpu.native)
-    for PPM/BMP trees — the GTSRB hot path — and cv2 otherwise. The
-    native loader clones cv2 bilinear, so the "pil" backend bypasses it."""
+    for PPM/BMP/PNG trees — GTSRB plus every distorted/restored tree
+    (.png, ref:16:55/ref:09:15-26) — and cv2 otherwise. The native loader
+    clones cv2 bilinear, so the "pil" backend bypasses it. An exotic PNG
+    the native decoder rejects (16-bit, interlaced) fails the whole batch
+    over to cv2 via load_batch's count check."""
     if (RESIZE_BACKEND == "cv2" and paths
             and all(p.lower().endswith(_NATIVE_EXTS) for p in paths)):
         try:

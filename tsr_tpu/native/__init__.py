@@ -73,7 +73,7 @@ def available() -> bool:
 
 def load_batch(paths: List[str], size: int, threads: int = 8
                ) -> np.ndarray:
-    """Decode+resize ``paths`` (PPM/BMP) into a uint8 [N, size, size, 3]
+    """Decode+resize ``paths`` (PNG/PPM/BMP) into a uint8 [N, size, size, 3]
     RGB batch. Raises RuntimeError if any image fails (caller falls back)."""
     lib = _load()
     if lib is None:
@@ -109,7 +109,7 @@ def write_png_batch(paths: List[str], images: np.ndarray,
 
 
 def decode(path: str, max_side: int = 4096) -> np.ndarray:
-    """Decode one PPM/BMP at native size -> uint8 HWC RGB."""
+    """Decode one PNG/PPM/BMP at native size -> uint8 HWC RGB."""
     lib = _load()
     if lib is None:
         raise RuntimeError("libtsrio unavailable")

@@ -132,9 +132,29 @@ def _filter2d_impl(images, kernels, max_degree):
     return out.reshape(h, w, b, c).transpose(2, 0, 1, 3)
 
 
+_BACKEND_OVERRIDE = None  # set via set_backend(); wins over the env var
+
+
+def set_backend(name):
+    """Select the blur backend explicitly: 'xla', 'pallas_sparse',
+    'pallas_dense', or None to fall back to TSR_BLUR_BACKEND.
+
+    NOTE trace-time capture: the backend is read when a jitted caller
+    *traces*, so callers already compiled keep their old dispatch — switch
+    backends before the first call (or call ``jax.clear_caches()``
+    afterwards). The same applies to processes sharing the persistent
+    compilation cache: the cache key does not include this setting, which
+    is safe because all backends are numerically parity-tested
+    (tests/test_kernels.py), but timings compare only like-for-like.
+    """
+    global _BACKEND_OVERRIDE
+    assert name in (None, "xla", "pallas_sparse", "pallas_dense"), name
+    _BACKEND_OVERRIDE = name
+
+
 def _backend() -> str:
-    """Blur backend via TSR_BLUR_BACKEND: 'xla' (default), 'pallas_sparse',
-    or 'pallas_dense'.
+    """Blur backend: :func:`set_backend` override, else TSR_BLUR_BACKEND
+    ('xla' default). Read at TRACE time — see set_backend's note.
 
     Decision record (benchmarks/kernel_bench.py on v5e, 64-image batch,
     K=15 per-sample kernels): sparse-tap Pallas vs XLA grouped conv
@@ -145,6 +165,8 @@ def _backend() -> str:
     the blur stage is ~2% of the unified train step either way. The Pallas
     kernels remain selectable for A/B and for hardware where grouped convs
     lower poorly. Full table: docs/DESIGN.md."""
+    if _BACKEND_OVERRIDE is not None:
+        return _BACKEND_OVERRIDE
     import os
 
     return os.environ.get("TSR_BLUR_BACKEND", "xla")

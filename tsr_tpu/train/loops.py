@@ -239,9 +239,11 @@ def _val_wrap_pad(va_idx: np.ndarray, bs: int):
             "empty validation set — the train split left no val samples; "
             "lower train_split or grow the dataset")
     vsteps = max(1, (n + bs - 1) // bs)
-    pad = vsteps * bs - n
-    idx = np.concatenate([va_idx, va_idx[:pad] if pad else va_idx[:0]])
-    mask = np.concatenate([np.ones(n, np.float32), np.zeros(pad)])
+    total = vsteps * bs
+    # modular wrap: correct even when the pad exceeds the val set itself
+    # (tiny trees, e.g. 1 val sample at batch 4)
+    idx = va_idx[np.arange(total) % n]
+    mask = (np.arange(total) < n).astype(np.float32)
     return idx.reshape(vsteps, bs), mask.reshape(vsteps, bs)
 
 
