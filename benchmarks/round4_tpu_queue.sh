@@ -1,0 +1,90 @@
+#!/usr/bin/env bash
+# Round-4 TPU endgame queue. Designed for an unreliable relay (the axon
+# tunnel dies for 1h+ stretches): waits for the TPU, captures the cheap
+# perf artifact FIRST (round 3 lost its bench number to an outage), then
+# drives the calibration sweep to completion with per-config resume, then
+# multi-seed-gates the winning config. Logs under $OUT; safe to re-run —
+# completed stages are skipped.
+set -u
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+OUT=${OUT:-/tmp/tsr_r4}
+WORK=${WORK:-/tmp/tsr_sweep_r4}
+mkdir -p "$OUT"
+
+tpu_up() {
+  timeout 120 python -c "import jax; assert jax.devices()[0].platform not in ('cpu','gpu')" 2>/dev/null
+}
+
+wait_tpu() {
+  while ! tpu_up; do
+    echo "[queue $(date +%H:%M)] TPU down; sleeping 180s" | tee -a "$OUT/queue.log"
+    sleep 180
+  done
+  echo "[queue $(date +%H:%M)] TPU UP" | tee -a "$OUT/queue.log"
+}
+
+# ---- stage 1: bench capture (cheap, do first) ----
+if ! grep -q '"value"' "$OUT/bench.json" 2>/dev/null; then
+  wait_tpu
+  echo "[queue] stage 1: bench.py" | tee -a "$OUT/queue.log"
+  TSR_BENCH_RETRIES=2 TSR_BENCH_RETRY_WAIT=120 \
+    timeout 3600 python "$REPO/bench.py" > "$OUT/bench.json" 2> "$OUT/bench.err"
+  echo "[queue] bench rc=$? -> $OUT/bench.json" | tee -a "$OUT/queue.log"
+fi
+
+# ---- stage 2: calibration sweep (resumable per config) ----
+need_sweep() {
+  for c in T30 T45 T30s64 T45s64; do
+    grep -q '"bands_hit"' "$WORK/$c.log" 2>/dev/null || return 0
+  done
+  return 1
+}
+tries=0
+while need_sweep && [ $tries -lt 8 ]; do
+  wait_tpu
+  echo "[queue] stage 2: sweep (attempt $((tries + 1)))" | tee -a "$OUT/queue.log"
+  WORK=$WORK bash "$REPO/benchmarks/sweep_calibration.sh" \
+    >> "$OUT/sweep.log" 2>&1
+  tries=$((tries + 1))
+done
+
+# ---- stage 3: pick the winner, multi-seed gate it ----
+if ! grep -q '"bands_hit"' "$OUT/multiseed.log" 2>/dev/null; then
+  WINNER=$(python - "$WORK" <<'EOF'
+import json, sys
+from pathlib import Path
+work = Path(sys.argv[1])
+flags = {
+    "T30":    "--size 72 --size-jitter 0.45 --calib size_small_frac=0.3",
+    "T45":    "--size 72 --size-jitter 0.45 --calib size_small_frac=0.45",
+    "T30s64": "--size 64 --size-jitter 0.45 --calib size_small_frac=0.3",
+    "T45s64": "--size 64 --size-jitter 0.45 --calib size_small_frac=0.45",
+}
+REF = {"clean": .9996, "noise": .2682, "blur": .5557, "fog": .6107,
+       "compound": .0578, "mild_conf": .749}
+best, best_key = None, None
+for name, fl in flags.items():
+    log = work / f"{name}.log"
+    if not log.exists():
+        continue
+    for line in reversed(log.read_text().splitlines()):
+        if line.startswith("{") and '"bands_hit"' in line:
+            r = json.loads(line)
+            dist = sum(abs(r["mean"][k] - REF[k]) for k in
+                       ("compound", "mild_conf"))
+            key = (r["bands_hit"], -dist)
+            if best_key is None or key > best_key:
+                best, best_key = (name, fl, r["bands_hit"]), key
+            break
+print(best[1] if best else flags["T30"])
+EOF
+)
+  wait_tpu
+  echo "[queue] stage 3: multi-seed gate on winner: $WINNER" | tee -a "$OUT/queue.log"
+  timeout 14400 python "$REPO/benchmarks/calibrate_standin.py" \
+    --work /tmp/tsr_ms_r4 --classes 43 --per-class 120 --epochs 60 \
+    --no-batchnorm --seeds 3 $WINNER > "$OUT/multiseed.log" 2>&1
+  echo "[queue] multiseed rc=$? (exit = bands missed)" | tee -a "$OUT/queue.log"
+fi
+
+echo "[queue] DONE $(date)" | tee -a "$OUT/queue.log"
