@@ -34,7 +34,7 @@ fi
 
 # ---- stage 2: calibration sweep (resumable per config) ----
 need_sweep() {
-  for c in T30 T45 T30s64 T45s64; do
+  for c in T30s64 T45s64 T30 T45 T30s64e24 T30e24; do
     grep -q '"bands_hit"' "$WORK/$c.log" 2>/dev/null || return 0
   done
   return 1
@@ -59,6 +59,10 @@ flags = {
     "T45":    "--size 72 --size-jitter 0.45 --calib size_small_frac=0.45",
     "T30s64": "--size 64 --size-jitter 0.45 --calib size_small_frac=0.3",
     "T45s64": "--size 64 --size-jitter 0.45 --calib size_small_frac=0.45",
+    "T30s64e24": "--size 64 --size-jitter 0.45 "
+                 "--calib size_small_frac=0.3 --epochs 24",
+    "T30e24": "--size 72 --size-jitter 0.45 "
+              "--calib size_small_frac=0.3 --epochs 24",
 }
 REF = {"clean": .9996, "noise": .2682, "blur": .5557, "fog": .6107,
        "compound": .0578, "mild_conf": .749}

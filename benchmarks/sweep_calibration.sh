@@ -38,11 +38,19 @@ run_cfg() {
 }
 
 # B2 shipped config = size 72 / jitter .45 / veil_t .30 / LS 0 (4/6 bands;
-# compound 15.5, mild 0.909). The sweep moves only the two open levers.
-run_cfg T30    --size 72 --size-jitter 0.45 --calib size_small_frac=0.3
-run_cfg T45    --size 72 --size-jitter 0.45 --calib size_small_frac=0.45
+# compound 15.5, mild 0.909). The sweep moves the two diagnosed levers
+# (small-native tail, native size) plus the secondary epoch lever
+# (finding 7: B2 at 24 ep gives mild 0.861 vs 0.909 at 60, clean stays in
+# band). Most promising configs first — both-lever moves target both open
+# bands at once.
 run_cfg T30s64 --size 64 --size-jitter 0.45 --calib size_small_frac=0.3
 run_cfg T45s64 --size 64 --size-jitter 0.45 --calib size_small_frac=0.45
+run_cfg T30    --size 72 --size-jitter 0.45 --calib size_small_frac=0.3
+run_cfg T45    --size 72 --size-jitter 0.45 --calib size_small_frac=0.45
+run_cfg T30s64e24 --size 64 --size-jitter 0.45 \
+  --calib size_small_frac=0.3 --epochs 24
+run_cfg T30e24 --size 72 --size-jitter 0.45 \
+  --calib size_small_frac=0.3 --epochs 24
 
 echo "=== sweep summary ==="
 for log in "$WORK"/*.log; do
