@@ -103,3 +103,49 @@ def test_unified_script_journey(tmp_path):
     out = run("15_test_unified.py", "--out",
               str(tmp_path / "demo.png"), cwd=tmp_path, common=common)
     assert (tmp_path / "demo.png").exists(), out
+
+
+def test_viz_interpret_script_journey(tmp_path):
+    """Viz/interpretability leg (ref:10-13): comparison grid, hidden-state
+    heatmaps, UMAP .pt export, cascade stress figures — on a tiny tree with
+    1-epoch models (artifact existence + schema, not quality)."""
+    clean = tmp_path / "data" / "gtsrb" / "Training"
+    ckpt = tmp_path / "ckpt"
+    common = ["--clean-dir", str(clean), "--ckpt-dir", str(ckpt),
+              "--image-size", "32", "--synthetic",
+              "--synthetic-classes", "2", "--synthetic-per-class", "4"]
+
+    run("01_download_data.py", cwd=tmp_path, common=common)
+    for s in ("02_gen_noise.py", "03_gen_blur.py", "04_gen_fog.py"):
+        run(s, cwd=tmp_path, common=common)
+    run("05_train_baseline.py", "--epochs", "1", "--batch-size", "4",
+        "--optimizer", "adamw", cwd=tmp_path, common=common)
+    for task in ("noise", "blur", "fog"):
+        run("07_train_restoration.py", "--task", task, "--epochs", "1",
+            "--batch-size", "4", cwd=tmp_path, common=common)
+    run("08_run_inference.py", "--batch-size", "4", cwd=tmp_path,
+        common=common)
+
+    run("10_visualize_result.py", "--out", str(tmp_path / "grid.png"),
+        cwd=tmp_path, common=common)
+    assert (tmp_path / "grid.png").exists()
+
+    run("11_visualize_hidden_states.py", "--out",
+        str(tmp_path / "hidden.png"), cwd=tmp_path, common=common)
+    assert (tmp_path / "hidden.png").exists()
+
+    run("12_generate_umap_pt.py", "--samples-per-mode", "8",
+        "--out-pt", str(tmp_path / "emb.pt"),
+        "--out-img", str(tmp_path / "emb.png"), cwd=tmp_path, common=common)
+    import torch
+    d = torch.load(str(tmp_path / "emb.pt"), weights_only=False)
+    # schema of the reference's shipped artifact (ref:12:145-150)
+    assert set(d) >= {"embeddings", "labels", "original_features"}
+    assert d["embeddings"].shape[1] == 2
+    assert d["original_features"].shape[1] == 512
+
+    out = run("13_pipeline_stress_test.py", "--num-samples", "2",
+              "--out-dir", str(tmp_path / "pr"), cwd=tmp_path, common=common)
+    figs = list((tmp_path / "pr").glob("pipeline_sample_*.png"))
+    assert len(figs) == 2, out
+    assert "confidence" in out.lower(), out
