@@ -138,3 +138,28 @@ def test_unified_step_with_remat():
         losses.append(float(aux["loss"]))
     assert np.isclose(losses[0], losses[1], rtol=1e-5), losses
     assert np.isclose(losses[0], losses[2], rtol=1e-5), losses
+
+
+def test_val_wrap_pad_tiny_val_sets():
+    """Wrap-pad must be exact even when the pad exceeds the val set
+    (regression: 1-2 val samples at batch 4 crashed the reshape)."""
+    import numpy as np
+
+    from tsr_tpu.train.loops import _val_wrap_pad
+
+    for n, bs in ((1, 4), (2, 4), (3, 8), (5, 4), (8, 4), (7, 3)):
+        va = np.arange(100, 100 + n)
+        idx, mask = _val_wrap_pad(va, bs)
+        vsteps = max(1, -(-n // bs))
+        assert idx.shape == mask.shape == (vsteps, bs)
+        assert mask.sum() == n  # each real sample weighted exactly once
+        flat_idx, flat_mask = idx.ravel(), mask.ravel()
+        # the mask-1 slots cover the val set exactly once
+        assert sorted(flat_idx[flat_mask == 1].tolist()) == va.tolist()
+        # padded slots still index valid samples (wrapped)
+        assert set(flat_idx.tolist()) <= set(va.tolist())
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        _val_wrap_pad(np.array([], np.int32), 4)
