@@ -32,6 +32,18 @@ if ! grep -q '"value"' "$OUT/bench.json" 2>/dev/null; then
   echo "[queue] bench rc=$? -> $OUT/bench.json" | tee -a "$OUT/queue.log"
 fi
 
+# ---- stage 1b: fused-eval batch/chunk grid (headline tuning) ----
+if [ ! -f "$OUT/evalgrid.log" ]; then
+  wait_tpu
+  echo "[queue] stage 1b: eval grid" | tee -a "$OUT/queue.log"
+  for cfg in "384 4" "512 4" "512 8"; do
+    set -- $cfg
+    echo "--- batch=$1 chunks=$2 ---" >> "$OUT/evalgrid.log"
+    TSR_BENCH_TRAIN=0 TSR_BENCH_BATCH=$1 TSR_BENCH_CHUNKS=$2 \
+      timeout 1200 python "$REPO/bench.py" >> "$OUT/evalgrid.log" 2>&1
+  done
+fi
+
 # ---- stage 2: calibration sweep (resumable per config) ----
 need_sweep() {
   for c in T30s64 T45s64 T30 T45 T30s64e24 T30e24; do
