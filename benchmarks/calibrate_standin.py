@@ -249,6 +249,7 @@ def main():
         synthetic.CALIB[k] = (tuple(float(x) for x in v.split(","))
                               if "," in v else float(v))
 
+    profiling.honor_cpu_request()  # enables tiny CPU dry-runs of the driver
     profiling.enable_compilation_cache()
 
     runs = [run_once(args, args.seed + i) for i in range(args.seeds)]

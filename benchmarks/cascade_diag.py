@@ -57,6 +57,7 @@ def main():
 
     from tsr_tpu.ops import distortions
 
+    profiling.honor_cpu_request()
     profiling.enable_compilation_cache()
     clean_root = Path(args.clean_dir or Path(args.work) / "clean")
     judge_path = args.judge or str(Path(args.work) / "judge")
@@ -108,12 +109,12 @@ def main():
             u8 = (np.clip(np.asarray(img, np.float32), 0, 1)
                   * 255).astype(np.uint8)
         if name == "Clean":
-            ps = float("inf")
+            ps = None  # PSNR vs itself is infinite; keep the JSON strict
         else:
             vals = np.asarray(image_ops.psnr(u8, clean224))
-            ps = float(vals[np.isfinite(vals)].mean())
+            ps = round(float(vals[np.isfinite(vals)].mean()), 2)
         table[name] = {"conf": round(float(np.mean(conf)), 4),
-                       "psnr_vs_clean": round(ps, 2)}
+                       "psnr_vs_clean": ps}
         print(f"{name:24s} conf={table[name]['conf']:.3f} "
               f"psnr={table[name]['psnr_vs_clean']}")
     mc = out["mean_confidence"]

@@ -16,6 +16,8 @@ CAL=${CAL:-/tmp/tsr_ms_r4_s0}
 OUT=${OUT:-/tmp/tsr_r4}
 EPOCHS=${EPOCHS:-15}
 SAMPLES=${SAMPLES:-32}
+IMG=${IMG:-224}      # shrink for CPU dry-runs
+BS=${BS:-32}
 mkdir -p "$OUT"
 
 train_set() {  # $1 = ckpt dir, extra flags after
@@ -23,12 +25,14 @@ train_set() {  # $1 = ckpt dir, extra flags after
   for task in noise fog; do
     [ -d "$ckpt/restoration_$task" ] && continue
     python "$REPO/scripts/07_train_restoration.py" \
-      --clean-dir "$CAL/clean" --ckpt-dir "$ckpt" --image-size 224 --bf16 \
+      --clean-dir "$CAL/clean" --ckpt-dir "$ckpt" --image-size "$IMG" \
+      --bf16 --batch-size "$BS" \
       --task $task --distorted-dir "$CAL/$task" --epochs "$EPOCHS" "$@"
   done
   if [ ! -d "$ckpt/restoration_blur" ]; then
     python "$REPO/scripts/07_train_restoration_advanced.py" \
-      --clean-dir "$CAL/clean" --ckpt-dir "$ckpt" --image-size 224 --bf16 \
+      --clean-dir "$CAL/clean" --ckpt-dir "$ckpt" --image-size "$IMG" \
+      --bf16 --batch-size "$BS" \
       --task blur --distorted-dir "$CAL/blur" --epochs "$EPOCHS" \
       --judge "$CAL/judge" "$@"
   fi
@@ -41,7 +45,7 @@ train_set "$OUT/rest_b" --identity-frac 0.25
 
 for v in a b; do
   python "$REPO/benchmarks/cascade_diag.py" --work "$CAL" \
-    --judge "$CAL/judge" --restorers "$OUT/rest_$v" \
+    --judge "$CAL/judge" --restorers "$OUT/rest_$v" --image-size "$IMG" \
     --num-samples "$SAMPLES" | tee "$OUT/cascade_$v.json"
 done
 echo "=== A/B tables at $OUT/cascade_{a,b}.json ==="

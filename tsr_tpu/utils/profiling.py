@@ -29,6 +29,24 @@ DEFAULT_CACHE_DIR = os.environ.get(
 _cache_enabled = False
 
 
+def honor_cpu_request() -> None:
+    """Honor ``JAX_PLATFORMS=cpu`` under the axon sitecustomize.
+
+    This image's sitecustomize force-registers the axon TPU plugin and
+    overrides the JAX_PLATFORMS env var via jax.config at interpreter
+    start; an explicit cpu request (tests, CPU dry-runs of TPU drivers)
+    must be forced back before any backend initializes. No-op otherwise.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        from jax._src import xla_bridge as _xb
+
+        if not _xb.backends_are_initialized():
+            jax.config.update("jax_platforms", "cpu")
+            n_cpu = os.environ.get("TSR_NUM_CPU_DEVICES")
+            if n_cpu:
+                jax.config.update("jax_num_cpu_devices", int(n_cpu))
+
+
 def enable_compilation_cache(path: str = DEFAULT_CACHE_DIR) -> None:
     global _cache_enabled
     if _cache_enabled:
