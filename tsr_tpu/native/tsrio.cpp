@@ -373,11 +373,23 @@ bool encode_png(const uint8_t* rgb, int w, int h,
     raw[(row + 1) * y] = 0;
     std::memcpy(raw.data() + (row + 1) * y + 1, rgb + row * y, row);
   }
+  // Z_RLE strategy: run-length-limited matches deflate ~3x faster than
+  // the default strategy at level 1 with a few % larger files — the right
+  // trade for a throughput-bound writer thread (PNG stays lossless by
+  // construction regardless of strategy).
   uLongf clen = compressBound(static_cast<uLong>(raw.size()));
   std::vector<uint8_t> comp(clen);
-  if (compress2(comp.data(), &clen, raw.data(),
-                static_cast<uLong>(raw.size()), 1) != Z_OK)
-    return false;
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (deflateInit2(&zs, 1, Z_DEFLATED, 15, 8, Z_RLE) != Z_OK) return false;
+  zs.next_in = raw.data();
+  zs.avail_in = static_cast<uInt>(raw.size());
+  zs.next_out = comp.data();
+  zs.avail_out = static_cast<uInt>(clen);
+  const int rc = deflate(&zs, Z_FINISH);
+  clen = zs.total_out;
+  deflateEnd(&zs);
+  if (rc != Z_STREAM_END) return false;
   png_chunk(out, "IDAT", comp.data(), clen);
   png_chunk(out, "IEND", nullptr, 0);
   return true;
