@@ -103,4 +103,15 @@ EOF
   echo "[queue] multiseed rc=$? (exit = bands missed)" | tee -a "$OUT/queue.log"
 fi
 
+# ---- stage 4: band evidence on the gated trees (floor attribution) ----
+if [ -d /tmp/tsr_ms_r4_s0 ] && [ ! -f "$OUT/band_diag.log" ]; then
+  wait_tpu
+  echo "[queue] stage 4: band_diag on multiseed s0" | tee -a "$OUT/queue.log"
+  for tree in compound blur; do
+    echo "--- tree=$tree ---" >> "$OUT/band_diag.log"
+    timeout 1800 python "$REPO/benchmarks/band_diag.py" \
+      --work /tmp/tsr_ms_r4_s0 --tree $tree >> "$OUT/band_diag.log" 2>&1
+  done
+fi
+
 echo "[queue] DONE $(date)" | tee -a "$OUT/queue.log"
