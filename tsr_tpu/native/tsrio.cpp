@@ -141,7 +141,7 @@ bool decode_png(const std::vector<uint8_t>& buf, Image& img) {
            (static_cast<uint32_t>(buf[o + 2]) << 8) | buf[o + 3];
   };
   int w = 0, h = 0, depth = 0, ctype = 0;
-  std::vector<uint8_t> idat, plte, trns;
+  std::vector<uint8_t> idat, plte;
   bool have_ihdr = false;
   size_t pos = 8;
   while (pos + 12 <= buf.size()) {
