@@ -21,20 +21,25 @@ BS=${BS:-32}
 mkdir -p "$OUT"
 
 train_set() {  # $1 = ckpt dir, extra flags after
+  # resume marker is a .done sentinel written AFTER the script exits 0 —
+  # the checkpoint dir itself appears at the first mid-training best-val
+  # save, so its existence does not mean training completed
   local ckpt=$1; shift
   for task in noise fog; do
-    [ -d "$ckpt/restoration_$task" ] && continue
+    [ -f "$ckpt/.done_$task" ] && continue
     python "$REPO/scripts/07_train_restoration.py" \
       --clean-dir "$CAL/clean" --ckpt-dir "$ckpt" --image-size "$IMG" \
       --bf16 --batch-size "$BS" \
-      --task $task --distorted-dir "$CAL/$task" --epochs "$EPOCHS" "$@"
+      --task $task --distorted-dir "$CAL/$task" --epochs "$EPOCHS" "$@" \
+      && touch "$ckpt/.done_$task"
   done
-  if [ ! -d "$ckpt/restoration_blur" ]; then
+  if [ ! -f "$ckpt/.done_blur" ]; then
     python "$REPO/scripts/07_train_restoration_advanced.py" \
       --clean-dir "$CAL/clean" --ckpt-dir "$ckpt" --image-size "$IMG" \
       --bf16 --batch-size "$BS" \
       --task blur --distorted-dir "$CAL/blur" --epochs "$EPOCHS" \
-      --judge "$CAL/judge" "$@"
+      --judge "$CAL/judge" "$@" \
+      && touch "$ckpt/.done_blur"
   fi
 }
 

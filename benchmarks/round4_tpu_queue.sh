@@ -33,16 +33,21 @@ if ! grep -q '"value"' "$OUT/bench.json" 2>/dev/null; then
 fi
 
 # ---- stage 1b: fused-eval batch/chunk grid (headline tuning) ----
-if [ ! -f "$OUT/evalgrid.log" ]; then
-  wait_tpu
-  echo "[queue] stage 1b: eval grid" | tee -a "$OUT/queue.log"
-  for cfg in "384 4" "512 4" "512 8"; do
-    set -- $cfg
+# per-config resume: each config re-runs until its log section contains a
+# result line (a bare log-file check would mark the stage done after the
+# first config survives an outage)
+for cfg in "384 4" "512 4" "512 8"; do
+  set -- $cfg
+  if ! grep -A2 "^--- batch=$1 chunks=$2 ---$" "$OUT/evalgrid.log" \
+      2>/dev/null | grep -q '"value"'; then
+    wait_tpu
+    echo "[queue] stage 1b: eval grid batch=$1 chunks=$2" \
+      | tee -a "$OUT/queue.log"
     echo "--- batch=$1 chunks=$2 ---" >> "$OUT/evalgrid.log"
     TSR_BENCH_TRAIN=0 TSR_BENCH_BATCH=$1 TSR_BENCH_CHUNKS=$2 \
       timeout 1200 python "$REPO/bench.py" >> "$OUT/evalgrid.log" 2>&1
-  done
-fi
+  fi
+done
 
 # ---- stage 2: calibration sweep (resumable per config) ----
 need_sweep() {
@@ -85,14 +90,17 @@ for name, fl in flags.items():
         continue
     for line in reversed(log.read_text().splitlines()):
         if line.startswith("{") and '"bands_hit"' in line:
-            r = json.loads(line)
-            dist = sum(abs(r["mean"][k] - REF[k]) for k in
-                       ("compound", "mild_conf"))
+            try:  # a truncated line (timeout mid-print) must not kill
+                r = json.loads(line)  # the picker or blank the flags
+                dist = sum(abs(r["mean"][k] - REF[k]) for k in
+                           ("compound", "mild_conf"))
+            except (ValueError, KeyError):
+                continue
             key = (r["bands_hit"], -dist)
             if best_key is None or key > best_key:
                 best, best_key = (name, fl, r["bands_hit"]), key
             break
-print(best[1] if best else flags["T30"])
+print(best[1] if best else flags["T30s64"])
 EOF
 )
   wait_tpu
@@ -104,13 +112,15 @@ EOF
 fi
 
 # ---- stage 4: band evidence on the gated trees (floor attribution) ----
-if [ -d /tmp/tsr_ms_r4_s0 ] && [ ! -f "$OUT/band_diag.log" ]; then
-  wait_tpu
-  echo "[queue] stage 4: band_diag on multiseed s0" | tee -a "$OUT/queue.log"
+if [ -d /tmp/tsr_ms_r4_s0 ]; then
   for tree in compound blur; do
+    grep -q "DONE tree=$tree" "$OUT/band_diag.log" 2>/dev/null && continue
+    wait_tpu
+    echo "[queue] stage 4: band_diag tree=$tree" | tee -a "$OUT/queue.log"
     echo "--- tree=$tree ---" >> "$OUT/band_diag.log"
     timeout 1800 python "$REPO/benchmarks/band_diag.py" \
-      --work /tmp/tsr_ms_r4_s0 --tree $tree >> "$OUT/band_diag.log" 2>&1
+      --work /tmp/tsr_ms_r4_s0 --tree $tree >> "$OUT/band_diag.log" 2>&1 \
+      && echo "DONE tree=$tree" >> "$OUT/band_diag.log"
   done
 fi
 

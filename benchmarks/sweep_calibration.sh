@@ -17,7 +17,7 @@
 #
 # Ref targets: /root/reference/README.md:92-110 (accuracy bands),
 # /root/reference/13_pipeline_stress_test.py:226-238 (mild confidence).
-set -u
+set -u -o pipefail  # rc must reflect the python run, not tee
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 WORK=${WORK:-/tmp/tsr_sweep_r4}
 EPOCHS=${EPOCHS:-60}

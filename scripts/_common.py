@@ -16,25 +16,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# This image's sitecustomize force-registers the axon TPU backend and
-# overrides the JAX_PLATFORMS env var via jax.config. Honor an explicit
-# cpu request (used by tests / CPU-only runs) by forcing it back.
-if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    import jax
-
-    from jax._src import xla_bridge as _xb
-
-    if not _xb.backends_are_initialized():
-        jax.config.update("jax_platforms", "cpu")
-        # Virtual multi-device CPU mesh (e.g. --mesh data=8 in tests):
-        n_cpu = os.environ.get("TSR_NUM_CPU_DEVICES")
-        if n_cpu:
-            jax.config.update("jax_num_cpu_devices", int(n_cpu))
-
-# Persistent compilation cache: first TPU compiles of the big models take
-# minutes; repeat script invocations reuse them.
+# Honor an explicit JAX_PLATFORMS=cpu request despite this image's
+# sitecustomize (which force-registers the axon TPU backend), and enable
+# the persistent compilation cache (first TPU compiles of the big models
+# take minutes; repeat script invocations reuse them).
 from tsr_tpu.utils import profiling as _profiling
 
+_profiling.honor_cpu_request()
 _profiling.enable_compilation_cache()
 
 DATA_ROOT = "./data"

@@ -102,14 +102,17 @@ def evaluate_batches(
         out = step(restorer_vars, judge_vars, images, labels, clean)
         correct += int(out["correct"])  # device->host read: a sync point
         total += len(labels)
-        if t_warm is None:
-            t_warm = time.perf_counter()
-        else:
-            timed += len(labels)
         confs.append(np.asarray(out["confidence"]))
         if with_metrics and "psnr" in out:
             psnrs.append(np.asarray(out["psnr"]))
             ssims.append(np.asarray(out["ssim"]))
+        # start the steady-state window only after batch 0's device->host
+        # transfers too — not just its compute — or their cost lands in a
+        # window whose image count excludes batch 0
+        if t_warm is None:
+            t_warm = time.perf_counter()
+        else:
+            timed += len(labels)
     # steady-state throughput: batch 0 (compile + relay first-touch) is the
     # warmup and is excluded; a single-batch run keeps the cold number
     if timed:

@@ -148,7 +148,8 @@ def set_backend(name):
     (tests/test_kernels.py), but timings compare only like-for-like.
     """
     global _BACKEND_OVERRIDE
-    assert name in (None, "xla", "pallas_sparse", "pallas_dense"), name
+    if name not in (None, "xla", "pallas_sparse", "pallas_dense"):
+        raise ValueError(f"unknown blur backend {name!r}")
     _BACKEND_OVERRIDE = name
 
 
