@@ -84,15 +84,15 @@ def ensure_clean_tree(args) -> str:
             from tsr_tpu.data import synthetic
 
             print(f"Generating synthetic tree at {args.clean_dir} ...")
-            # GTSRB-like native sizes: ~40-104 px (the real dataset ships
-            # crops from ~25 to ~110 px; distortions apply at native res).
-            # This size spread + the CALIB photometrics is the calibrated
-            # configuration whose judge vulnerability profile matches the
-            # reference's ordering (benchmarks/calibrate_standin.py).
+            # Shipped native-size spread (synthetic.TREE_SIZE/TREE_JITTER)
+            # + the CALIB photometrics = the calibrated configuration whose
+            # judge vulnerability profile matches the reference's ordering
+            # (benchmarks/calibrate_standin.py).
             synthetic.write_image_tree(
                 args.clean_dir, num_classes=args.synthetic_classes,
-                per_class=args.synthetic_per_class, size=72, seed=args.seed,
-                size_jitter=0.45)
+                per_class=args.synthetic_per_class,
+                size=synthetic.TREE_SIZE, seed=args.seed,
+                size_jitter=synthetic.TREE_JITTER)
         else:
             raise SystemExit(
                 f"{args.clean_dir} not found. Run scripts/01_download_data.py"

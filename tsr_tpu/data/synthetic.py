@@ -40,6 +40,14 @@ from typing import Tuple
 
 import numpy as np
 
+# Shipped native-size distribution for calibrated stand-in trees: every
+# consumer building a "real" tree (scripts/01 via ensure_clean_tree,
+# demo_run.sh) uses these, so the calibration winner ships from ONE place.
+# GTSRB crops span ~25-110 px and distortions apply at native resolution,
+# so this pair is a calibration lever like the CALIB knobs below.
+TREE_SIZE = 72
+TREE_JITTER = 0.45
+
 # ---------------------------------------------------------------------------
 # Calibration knobs (empirically tuned against reference README.md:92-110)
 # ---------------------------------------------------------------------------
