@@ -67,42 +67,7 @@ done
 
 # ---- stage 3: pick the winner, multi-seed gate it ----
 if ! grep -q '"bands_hit"' "$OUT/multiseed.log" 2>/dev/null; then
-  WINNER=$(python - "$WORK" <<'EOF'
-import json, sys
-from pathlib import Path
-work = Path(sys.argv[1])
-flags = {
-    "T30":    "--size 72 --size-jitter 0.45 --calib size_small_frac=0.3",
-    "T45":    "--size 72 --size-jitter 0.45 --calib size_small_frac=0.45",
-    "T30s64": "--size 64 --size-jitter 0.45 --calib size_small_frac=0.3",
-    "T45s64": "--size 64 --size-jitter 0.45 --calib size_small_frac=0.45",
-    "T30s64e24": "--size 64 --size-jitter 0.45 "
-                 "--calib size_small_frac=0.3 --epochs 24",
-    "T30e24": "--size 72 --size-jitter 0.45 "
-              "--calib size_small_frac=0.3 --epochs 24",
-}
-REF = {"clean": .9996, "noise": .2682, "blur": .5557, "fog": .6107,
-       "compound": .0578, "mild_conf": .749}
-best, best_key = None, None
-for name, fl in flags.items():
-    log = work / f"{name}.log"
-    if not log.exists():
-        continue
-    for line in reversed(log.read_text().splitlines()):
-        if line.startswith("{") and '"bands_hit"' in line:
-            try:  # a truncated line (timeout mid-print) must not kill
-                r = json.loads(line)  # the picker or blank the flags
-                dist = sum(abs(r["mean"][k] - REF[k]) for k in
-                           ("compound", "mild_conf"))
-            except (ValueError, KeyError):
-                continue
-            key = (r["bands_hit"], -dist)
-            if best_key is None or key > best_key:
-                best, best_key = (name, fl, r["bands_hit"]), key
-            break
-print(best[1] if best else flags["T30s64"])
-EOF
-)
+  WINNER=$(python "$REPO/benchmarks/pick_winner.py" "$WORK")
   wait_tpu
   echo "[queue] stage 3: multi-seed gate on winner: $WINNER" | tee -a "$OUT/queue.log"
   timeout 14400 python "$REPO/benchmarks/calibrate_standin.py" \

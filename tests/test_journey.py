@@ -149,3 +149,35 @@ def test_viz_interpret_script_journey(tmp_path):
     figs = list((tmp_path / "pr").glob("pipeline_sample_*.png"))
     assert len(figs) == 2, out
     assert "confidence" in out.lower(), out
+
+
+def test_pick_winner(tmp_path):
+    """Sweep winner picker: ranking, truncated-JSON tolerance, fallback."""
+    sys.path.insert(0, str(REPO / "benchmarks"))
+    import pick_winner
+
+    def result(bands, compound, mild):
+        means = {"clean": 0.999, "noise": 0.3, "blur": 0.5, "fog": 0.6,
+                 "compound": compound, "mild_conf": mild}
+        import json
+        return json.dumps({"mean": means, "std": {}, "runs": [],
+                           "bands_hit": bands, "bands_total": 6})
+
+    # no logs at all -> fallback
+    name, flags, r = pick_winner.pick(tmp_path)
+    assert name == pick_winner.FALLBACK and r is None
+
+    (tmp_path / "T30.log").write_text("noise\n" + result(4, 0.15, 0.90))
+    (tmp_path / "T30s64.log").write_text(result(5, 0.09, 0.80))
+    # truncated final line (timeout mid-print) must fall back to the
+    # previous parseable line
+    (tmp_path / "T45s64.log").write_text(
+        result(6, 0.08, 0.75) + "\n" + result(6, 0.08, 0.75)[:50])
+    name, flags, r = pick_winner.pick(tmp_path)
+    assert name == "T45s64" and r["bands_hit"] == 6
+    assert "--size 64" in flags
+
+    # ties broken by distance to the reference on the two open bands
+    (tmp_path / "T45s64.log").write_text(result(5, 0.14, 0.95))
+    name, _, _ = pick_winner.pick(tmp_path)
+    assert name == "T30s64"
