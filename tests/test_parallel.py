@@ -237,3 +237,26 @@ def test_evaluate_directory_with_mesh(tmp_path):
                                      batch_size=16, size=16, mesh=mesh)
     assert r1["n"] == r8["n"] == 21
     assert r1["top1"] == r8["top1"]
+
+
+def test_distributed_helpers_single_process():
+    """Multi-host helpers must behave correctly in the degenerate
+    single-process case (initialize no-ops; shard = identity; global
+    batch = local batch with the mesh's data sharding)."""
+    import numpy as np
+
+    from tsr_tpu.parallel import distributed
+
+    distributed.initialize()  # must not raise single-process
+
+    idx = np.arange(10)
+    local = distributed.process_shard(idx)
+    assert (local == idx).all()
+
+    mesh = pmesh.make_mesh(data=8, model=1)
+    batch = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    arr = distributed.make_global_batch(batch, mesh)
+    assert arr.shape == (16, 4)
+    rows = sorted(s.data.shape[0] for s in arr.addressable_shards)
+    assert rows == [2] * 8  # genuinely split over the data axis
+    np.testing.assert_array_equal(np.asarray(arr), batch)
