@@ -49,6 +49,16 @@ for cfg in "384 4" "512 4" "512 8"; do
   fi
 done
 
+# ---- stage 1c: unified train-step batch probe (r3 grid gap: 128 ok,
+# 192 OOM, 160 never tried; >5% win would move bench.py's default) ----
+if ! grep -q "img/s" "$OUT/train160.log" 2>/dev/null; then
+  wait_tpu
+  echo "[queue] stage 1c: train_profile batch 160" | tee -a "$OUT/queue.log"
+  timeout 2400 python "$REPO/benchmarks/train_profile.py" \
+    --bf16 --batch 160 --remat vgg > "$OUT/train160.log" 2>&1
+  echo "[queue] train160 rc=$?" | tee -a "$OUT/queue.log"
+fi
+
 # ---- stage 2: calibration sweep (resumable per config) ----
 need_sweep() {
   for c in T30s64 T45s64 T30 T45 T30s64e24 T30e24; do
