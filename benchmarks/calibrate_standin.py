@@ -135,7 +135,21 @@ def run_once(args, seed: int) -> dict:
     clean = work / "clean"
     if not args.keep and work.exists():
         shutil.rmtree(work)
-    if not clean.exists():
+    n_expect = args.classes * args.per_class
+
+    def incomplete(tree: Path) -> bool:
+        # a relay outage can kill a run mid-build; --keep must never
+        # silently reuse a partial tree
+        if not tree.exists():
+            return True
+        n = len(list(tree.glob("*/*")))
+        if n != n_expect:
+            print(f"[tree] {tree} incomplete ({n}/{n_expect}); rebuilding")
+            shutil.rmtree(tree)
+            return True
+        return False
+
+    if incomplete(clean):
         t0 = time.time()
         synthetic.write_image_tree(
             str(clean), num_classes=args.classes, per_class=args.per_class,
@@ -147,7 +161,7 @@ def run_once(args, seed: int) -> dict:
     for kind in ("noise", "blur", "fog", "compound"):
         dst = work / kind
         trees[kind] = dst
-        if not dst.exists():
+        if incomplete(dst):
             offline.generate_tree(str(clean), str(dst), kind,
                                   seed=seed + 1)
 

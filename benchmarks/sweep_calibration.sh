@@ -21,7 +21,9 @@ set -u -o pipefail  # rc must reflect the python run, not tee
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 WORK=${WORK:-/tmp/tsr_sweep_r4}
 EPOCHS=${EPOCHS:-60}
-BASE="--classes 43 --per-class 120 --epochs $EPOCHS --no-batchnorm --no-gate"
+# --keep: reuse prebuilt trees (benchmarks/prebuild_sweep_trees.py builds
+# them on CPU during relay outages) and survive re-runs without rebuilding
+BASE="--classes 43 --per-class 120 --epochs $EPOCHS --no-batchnorm --no-gate --keep"
 mkdir -p "$WORK"
 
 run_cfg() {
