@@ -79,6 +79,22 @@ def ensure_clean_tree(args) -> str:
         from tsr_tpu.data import gtsrb
 
         gtsrb.set_resize_backend(args.resize_backend)
+    root = Path(args.clean_dir)
+    if args.synthetic and root.exists() and (root / ".synthetic").exists():
+        # a previous --synthetic run was interrupted mid-write: the marker
+        # is written only after completion params are known, but image
+        # counts are the ground truth. Rebuild on mismatch. Trees without
+        # the marker (real GTSRB) are never touched.
+        import json as _json
+        import shutil as _shutil
+
+        meta = _json.loads((root / ".synthetic").read_text())
+        n = len(list(root.glob("*/*")))
+        if n != meta["num_classes"] * meta["per_class"]:
+            print(f"Synthetic tree at {root} incomplete "
+                  f"({n}/{meta['num_classes'] * meta['per_class']}); "
+                  "rebuilding.")
+            _shutil.rmtree(root)
     if not Path(args.clean_dir).exists():
         if args.synthetic:
             from tsr_tpu.data import synthetic

@@ -358,6 +358,16 @@ def write_image_tree(root: str, num_classes: int = 8, per_class: int = 6,
 
     rng = np.random.default_rng(seed)
     root_p = Path(root)
+    # marker first, images second: consumers detect an interrupted build
+    # as marker-present + count-mismatch (scripts/_common.ensure_clean_tree
+    # rebuilds those; trees without the marker — real data — are never
+    # touched)
+    import json as _json
+
+    root_p.mkdir(parents=True, exist_ok=True)
+    (root_p / ".synthetic").write_text(_json.dumps({
+        "num_classes": num_classes, "per_class": per_class, "size": size,
+        "seed": seed, "size_jitter": size_jitter}))
     for cid in range(num_classes):
         d = root_p / f"{cid:05d}"
         d.mkdir(parents=True, exist_ok=True)
