@@ -3,6 +3,10 @@
 # 43-class synthetic GTSRB stand-in. Produces RESULTS artifacts under
 # $WORKDIR and prints every report. Expected wall-clock: ~2h on one v5e
 # chip (dominated by first-time compiles through the TPU tunnel).
+#
+# Resumable: each stage drops a $WORKDIR/.done_<name> sentinel on success
+# and is skipped on re-run — a relay outage mid-run costs one stage, not
+# the whole 2h (re-run the script; rm $WORKDIR/.done_* for a fresh pass).
 set -e
 WORKDIR=${WORKDIR:-/tmp/tsr_demo}
 REPO=$(cd "$(dirname "$0")/.." && pwd)
@@ -29,39 +33,47 @@ ID_FRAC=${ID_FRAC:-0.25}
 ARGS="--clean-dir $CLEAN --image-size 224 --ckpt-dir $CKPT"
 
 mkdir -p $WORKDIR && cd $WORKDIR
-echo "=== [1/18] data ==="
-python $REPO/scripts/01_download_data.py $ARGS --synthetic \
+
+stage() {  # stage <name> <cmd...>: skip when done, sentinel on success
+  local name=$1; shift
+  if [ -f "$WORKDIR/.done_$name" ]; then
+    echo "=== [$name] already done (rm $WORKDIR/.done_$name to redo) ==="
+    return 0
+  fi
+  echo "=== [$name] ==="
+  "$@"
+  touch "$WORKDIR/.done_$name"
+}
+
+stage 01_data python $REPO/scripts/01_download_data.py $ARGS --synthetic \
   --synthetic-classes 43 --synthetic-per-class 120
-echo "=== [2-4,16] offline distorted trees ==="
-python $REPO/scripts/02_gen_noise.py $ARGS
-python $REPO/scripts/03_gen_blur.py $ARGS
-python $REPO/scripts/04_gen_fog.py $ARGS
-python $REPO/scripts/16_gen_compound_data.py $ARGS
-echo "=== [5] judge ==="
-python $REPO/scripts/05_train_baseline.py $ARGS --bf16 \
+stage 02_noise python $REPO/scripts/02_gen_noise.py $ARGS
+stage 03_blur python $REPO/scripts/03_gen_blur.py $ARGS
+stage 04_fog python $REPO/scripts/04_gen_fog.py $ARGS
+stage 16_compound python $REPO/scripts/16_gen_compound_data.py $ARGS
+stage 05_judge python $REPO/scripts/05_train_baseline.py $ARGS --bf16 \
   --optimizer adamw --epochs $EPOCHS_JUDGE --lr $LR_JUDGE --batch-size 64 \
   --label-smoothing $LS_JUDGE
-echo "=== [6] baseline eval ==="
-python $REPO/scripts/06_test_baseline.py $ARGS
-echo "=== [7] specialized restorers ==="
-python $REPO/scripts/07_train_restoration.py $ARGS --bf16 --task noise --epochs $EPOCHS_REST --identity-frac $ID_FRAC
-python $REPO/scripts/07_train_restoration.py $ARGS --bf16 --task fog --epochs $EPOCHS_REST --identity-frac $ID_FRAC
-python $REPO/scripts/07_train_restoration_advanced.py $ARGS --bf16 --task blur --epochs $EPOCHS_REST --identity-frac $ID_FRAC
-echo "=== [8] restore + PSNR/SSIM ==="
-python $REPO/scripts/08_run_inference.py $ARGS
-echo "=== [9] restoration eval ==="
-python $REPO/scripts/09_test_baseline.py $ARGS
-echo "=== [14] unified ResUNet ==="
-python $REPO/scripts/14_train_unified_advanced.py $ARGS --bf16 --epochs $EPOCHS_UNI
-echo "=== [17] unified restore ==="
-python $REPO/scripts/17_run_unified_inference.py $ARGS --metrics
-echo "=== [18] unified benchmark (fused) ==="
-python $REPO/scripts/18_test_unified_benchmark.py $ARGS --fused
-echo "=== [10-13,15,12] visualization + interpretability ==="
-python $REPO/scripts/10_visualize_result.py $ARGS
-python $REPO/scripts/11_visualize_hidden_states.py $ARGS
-python $REPO/scripts/13_pipeline_stress_test.py $ARGS --num-samples 10
-python $REPO/scripts/15_test_unified.py $ARGS
-python $REPO/scripts/12_generate_umap_pt.py $ARGS --method umap
+stage 06_eval python $REPO/scripts/06_test_baseline.py $ARGS
+stage 07_noise python $REPO/scripts/07_train_restoration.py $ARGS --bf16 \
+  --task noise --epochs $EPOCHS_REST --identity-frac $ID_FRAC
+stage 07_fog python $REPO/scripts/07_train_restoration.py $ARGS --bf16 \
+  --task fog --epochs $EPOCHS_REST --identity-frac $ID_FRAC
+stage 07_blur python $REPO/scripts/07_train_restoration_advanced.py $ARGS \
+  --bf16 --task blur --epochs $EPOCHS_REST --identity-frac $ID_FRAC
+stage 08_restore python $REPO/scripts/08_run_inference.py $ARGS
+stage 09_eval python $REPO/scripts/09_test_baseline.py $ARGS
+stage 14_unified python $REPO/scripts/14_train_unified_advanced.py $ARGS \
+  --bf16 --epochs $EPOCHS_UNI
+stage 17_restore python $REPO/scripts/17_run_unified_inference.py $ARGS \
+  --metrics
+stage 18_bench python $REPO/scripts/18_test_unified_benchmark.py $ARGS \
+  --fused
+stage 10_viz python $REPO/scripts/10_visualize_result.py $ARGS
+stage 11_hidden python $REPO/scripts/11_visualize_hidden_states.py $ARGS
+stage 13_stress python $REPO/scripts/13_pipeline_stress_test.py $ARGS \
+  --num-samples 10
+stage 15_demo python $REPO/scripts/15_test_unified.py $ARGS
+stage 12_umap python $REPO/scripts/12_generate_umap_pt.py $ARGS --method umap
 echo "=== DEMO RUN COMPLETE ==="
 ls -la $WORKDIR

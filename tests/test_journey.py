@@ -181,3 +181,101 @@ def test_pick_winner(tmp_path):
     (tmp_path / "T45s64.log").write_text(result(5, 0.14, 0.95))
     name, _, _ = pick_winner.pick(tmp_path)
     assert name == "T30s64"
+
+
+def test_demo_run_resume_skip(tmp_path):
+    """demo_run.sh skips completed stages via .done_* sentinels.
+
+    With every sentinel present the script must finish in seconds without
+    invoking a single training stage — the property that makes a relay
+    outage cost one stage instead of the whole ~2h run."""
+    stages = ["01_data", "02_noise", "03_blur", "04_fog", "16_compound",
+              "05_judge", "06_eval", "07_noise", "07_fog", "07_blur",
+              "08_restore", "09_eval", "14_unified", "17_restore",
+              "18_bench", "10_viz", "11_hidden", "13_stress", "15_demo",
+              "12_umap"]
+    for s in stages:
+        (tmp_path / f".done_{s}").touch()
+    r = subprocess.run(
+        ["bash", str(REPO / "benchmarks" / "demo_run.sh")],
+        capture_output=True, text=True, timeout=120,
+        env=dict(ENV, WORKDIR=str(tmp_path)))
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "DEMO RUN COMPLETE" in r.stdout
+    assert r.stdout.count("already done") == len(stages)
+    # the sentinel list above must stay in sync with the script
+    script = (REPO / "benchmarks" / "demo_run.sh").read_text()
+    assert set(re.findall(r"^stage (\S+)", script, re.M)) == set(stages)
+
+
+def test_sweep_table(tmp_path, capsys):
+    """Sweep-log -> markdown table renderer (docs/CALIBRATION.md input)."""
+    import json
+    import subprocess
+
+    means = {"clean": 0.995, "noise": 0.31, "blur": 0.48, "fog": 0.61,
+             "compound": 0.09, "mild_conf": 0.78}
+    rec = json.dumps({"mean": means, "std": {k: 0.01 for k in means},
+                      "runs": [means] * 3, "bands_hit": 6, "bands_total": 6})
+    (tmp_path / "T30s64.log").write_text("noise line\n" + rec)
+    ms = tmp_path / "multiseed.log"
+    ms.write_text(rec)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "benchmarks" / "sweep_table.py"),
+         str(tmp_path), "--multiseed", str(ms)],
+        capture_output=True, text=True, check=True).stdout
+    lines = out.splitlines()
+    assert lines[0].startswith("| config | levers |")
+    # one row per sweep config + header + separator + multiseed row
+    assert "| T30s64 |" in out and "**6/6**" in out
+    assert "×3 seeds" in out and "9.0±1.0" in out
+    # configs with no log render as placeholder rows, not crashes
+    assert "| T45 |" in out and "— |" in out
+
+
+def test_ship_winner(tmp_path):
+    """Winner-shipping rewrites the single-sourced defaults in place."""
+    sys.path.insert(0, str(REPO / "benchmarks"))
+    import ship_winner
+
+    # fake repo = real files copied into the expected layout
+    (tmp_path / "tsr_tpu" / "data").mkdir(parents=True)
+    (tmp_path / "benchmarks").mkdir()
+    syn = tmp_path / "tsr_tpu" / "data" / "synthetic.py"
+    demo = tmp_path / "benchmarks" / "demo_run.sh"
+    syn.write_text((REPO / "tsr_tpu" / "data" / "synthetic.py").read_text())
+    demo.write_text((REPO / "benchmarks" / "demo_run.sh").read_text())
+
+    win = ship_winner.parse_flags(
+        "--size 64 --size-jitter 0.4 --calib size_small_frac=0.3 "
+        "--epochs 24".split())
+    changes = ship_winner.ship(tmp_path, win)
+    assert len(changes) == 4
+    text = syn.read_text()
+    assert "\nTREE_SIZE = 64\n" in text
+    assert "\nTREE_JITTER = 0.4\n" in text
+    assert '"size_small_frac": 0.3,' in text
+    assert "EPOCHS_JUDGE=${EPOCHS_JUDGE:-24}" in demo.read_text()
+
+    # the shipped file must still be importable with the new values
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("syn_shipped", syn)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.TREE_SIZE == 64 and mod.CALIB["size_small_frac"] == 0.3
+
+    # tuple-valued knobs keep their trailing comments intact
+    win2 = ship_winner.parse_flags(["--calib", "smear_len=2.0,5.0"])
+    ship_winner.ship(tmp_path, win2)
+    assert '"smear_len": (2.0, 5.0),' in syn.read_text()
+
+    # a knob the regex can't find fails loudly, not silently
+    import pytest
+    with pytest.raises(SystemExit, match="expected exactly 1 match"):
+        ship_winner.ship(tmp_path,
+                         ship_winner.parse_flags(["--calib", "nope=1"]))
+
+    # unknown flags are rejected (the winner string is machine-produced;
+    # a pick_winner format drift must not half-apply)
+    with pytest.raises(SystemExit, match="unrecognized"):
+        ship_winner.parse_flags(["--veil", "0.3"])

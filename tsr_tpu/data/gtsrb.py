@@ -114,8 +114,12 @@ def _decode_resize_batch(paths: Sequence[str], size: int,
     (.png, ref:16:55/ref:09:15-26) — and cv2 otherwise. The native loader
     clones cv2 bilinear, so the "pil" backend bypasses it. An exotic PNG
     the native decoder rejects (16-bit, interlaced) fails the whole batch
-    over to cv2 via load_batch's count check."""
+    over to cv2 via load_batch's count check. ``TSR_NATIVE_IO=0`` forces
+    the cv2 path (same resize semantics) — the A/B lever for measuring the
+    native decoder's end-to-end img/s contribution (benchmarks/io_bench.py
+    measures decode alone)."""
     if (RESIZE_BACKEND == "cv2" and paths
+            and os.environ.get("TSR_NATIVE_IO", "1") != "0"
             and all(p.lower().endswith(_NATIVE_EXTS) for p in paths)):
         try:
             from tsr_tpu import native
