@@ -2,8 +2,9 @@
 # Round-4 TPU endgame queue. Designed for an unreliable relay (the axon
 # tunnel dies for 1h+ stretches): waits for the TPU, captures the cheap
 # perf artifact FIRST (round 3 lost its bench number to an outage), then
-# drives the calibration sweep to completion with per-config resume, then
-# multi-seed-gates the winning config. Logs under $OUT; safe to re-run —
+# drives the calibration sweep + multi-seed acceptance gate — the round's
+# headline deliverable — then the band-floor evidence, and only then the
+# nice-to-have perf grid probes. Logs under $OUT; safe to re-run —
 # completed stages are skipped.
 set -u
 REPO=$(cd "$(dirname "$0")/.." && pwd)
@@ -32,34 +33,10 @@ if ! grep -q '"value"' "$OUT/bench.json" 2>/dev/null; then
   echo "[queue] bench rc=$? -> $OUT/bench.json" | tee -a "$OUT/queue.log"
 fi
 
-# ---- stage 1b: fused-eval batch/chunk grid (headline tuning) ----
-# per-config resume: each config re-runs until its log section contains a
-# result line (a bare log-file check would mark the stage done after the
-# first config survives an outage)
-for cfg in "384 4" "512 4" "512 8"; do
-  set -- $cfg
-  if ! grep -A2 "^--- batch=$1 chunks=$2 ---$" "$OUT/evalgrid.log" \
-      2>/dev/null | grep -q '"value"'; then
-    wait_tpu
-    echo "[queue] stage 1b: eval grid batch=$1 chunks=$2" \
-      | tee -a "$OUT/queue.log"
-    echo "--- batch=$1 chunks=$2 ---" >> "$OUT/evalgrid.log"
-    TSR_BENCH_TRAIN=0 TSR_BENCH_BATCH=$1 TSR_BENCH_CHUNKS=$2 \
-      timeout 1200 python "$REPO/bench.py" >> "$OUT/evalgrid.log" 2>&1
-  fi
-done
-
-# ---- stage 1c: unified train-step batch probe (r3 grid gap: 128 ok,
-# 192 OOM, 160 never tried; >5% win would move bench.py's default) ----
-if ! grep -q "img/s" "$OUT/train160.log" 2>/dev/null; then
-  wait_tpu
-  echo "[queue] stage 1c: train_profile batch 160" | tee -a "$OUT/queue.log"
-  timeout 2400 python "$REPO/benchmarks/train_profile.py" \
-    --bf16 --batch 160 --remat vgg > "$OUT/train160.log" 2>&1
-  echo "[queue] train160 rc=$?" | tee -a "$OUT/queue.log"
-fi
-
 # ---- stage 2: calibration sweep (resumable per config) ----
+# The round's headline (VERDICT r4 task 1) runs before any perf probing:
+# if the relay only comes back for a few hours, the acceptance gate must
+# be what lands.
 need_sweep() {
   for c in T30s64 T45s64 T30 T45 T30s64e24 T30e24; do
     grep -q '"bands_hit"' "$WORK/$c.log" 2>/dev/null || return 0
@@ -97,6 +74,33 @@ if [ -d /tmp/tsr_ms_r4_s0 ]; then
       --work /tmp/tsr_ms_r4_s0 --tree $tree >> "$OUT/band_diag.log" 2>&1 \
       && echo "DONE tree=$tree" >> "$OUT/band_diag.log"
   done
+fi
+
+# ---- stage 5: fused-eval batch/chunk grid (headline tuning) ----
+# per-config resume: each config re-runs until its log section contains a
+# result line (a bare log-file check would mark the stage done after the
+# first config survives an outage)
+for cfg in "384 4" "512 4" "512 8"; do
+  set -- $cfg
+  if ! grep -A2 "^--- batch=$1 chunks=$2 ---$" "$OUT/evalgrid.log" \
+      2>/dev/null | grep -q '"value"'; then
+    wait_tpu
+    echo "[queue] stage 5: eval grid batch=$1 chunks=$2" \
+      | tee -a "$OUT/queue.log"
+    echo "--- batch=$1 chunks=$2 ---" >> "$OUT/evalgrid.log"
+    TSR_BENCH_TRAIN=0 TSR_BENCH_BATCH=$1 TSR_BENCH_CHUNKS=$2 \
+      timeout 1200 python "$REPO/bench.py" >> "$OUT/evalgrid.log" 2>&1
+  fi
+done
+
+# ---- stage 6: unified train-step batch probe (r3 grid gap: 128 ok,
+# 192 OOM, 160 never tried; >5% win would move bench.py's default) ----
+if ! grep -q "img/s" "$OUT/train160.log" 2>/dev/null; then
+  wait_tpu
+  echo "[queue] stage 6: train_profile batch 160" | tee -a "$OUT/queue.log"
+  timeout 2400 python "$REPO/benchmarks/train_profile.py" \
+    --bf16 --batch 160 --remat vgg > "$OUT/train160.log" 2>&1
+  echo "[queue] train160 rc=$?" | tee -a "$OUT/queue.log"
 fi
 
 echo "[queue] DONE $(date)" | tee -a "$OUT/queue.log"
