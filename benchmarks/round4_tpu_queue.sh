@@ -11,18 +11,11 @@ REPO=$(cd "$(dirname "$0")/.." && pwd)
 OUT=${OUT:-/tmp/tsr_r4}
 WORK=${WORK:-/tmp/tsr_sweep_r4}
 mkdir -p "$OUT"
-
-tpu_up() {
-  timeout 120 python -c "import jax; assert jax.devices()[0].platform not in ('cpu','gpu')" 2>/dev/null
-}
-
-wait_tpu() {
-  while ! tpu_up; do
-    echo "[queue $(date +%H:%M)] TPU down; sleeping 180s" | tee -a "$OUT/queue.log"
-    sleep 180
-  done
-  echo "[queue $(date +%H:%M)] TPU UP" | tee -a "$OUT/queue.log"
-}
+# Liveness contract with round4_endgame.sh: the queue owns its pid file,
+# so concurrent duplicate queues can't be started by a watcher that
+# doesn't know how the queue was launched.
+echo $$ > "${QUEUE_PID_FILE:-/tmp/r4queue.pid}"
+. "$REPO/benchmarks/tpu_lib.sh"
 
 # ---- stage 1: bench capture (cheap, do first) ----
 if ! grep -q '"value"' "$OUT/bench.json" 2>/dev/null; then
@@ -55,6 +48,10 @@ done
 # ---- stage 3: pick the winner, multi-seed gate it ----
 if ! grep -q '"bands_hit"' "$OUT/multiseed.log" 2>/dev/null; then
   WINNER=$(python "$REPO/benchmarks/pick_winner.py" "$WORK")
+  # Persist the flags the gate is about to validate: the endgame ships
+  # THIS file, never a re-pick (a later queue re-run over completed sweep
+  # logs could pick a different, unvalidated config).
+  echo "$WINNER" > "$OUT/winner.flags"
   wait_tpu
   echo "[queue] stage 3: multi-seed gate on winner: $WINNER" | tee -a "$OUT/queue.log"
   timeout 14400 python "$REPO/benchmarks/calibrate_standin.py" \

@@ -7,8 +7,8 @@ and rewrites the single-sourced constants every consumer reads:
 * ``tsr_tpu/data/synthetic.py`` — ``TREE_SIZE``, ``TREE_JITTER`` and the
   ``CALIB`` knobs named by ``--calib`` overrides (scripts/01 and every
   tree builder go through these, so one edit ships the winner everywhere).
-* ``benchmarks/demo_run.sh`` — the judge-epoch default, when the winner
-  used a non-default ``--epochs`` (the sweep's epoch lever is the judge
+* ``benchmarks/demo_run.sh`` — the judge-epoch default, only when the
+  winner carries ``--epochs`` (the sweep's epoch lever is the judge
   training budget; the demo must regenerate evidence under the same one).
 
 Every substitution is asserted to hit exactly once — a refactor that
@@ -27,9 +27,6 @@ from __future__ import annotations
 import argparse
 import re
 from pathlib import Path
-
-SWEEP_EPOCH_DEFAULT = 60  # sweep_calibration.sh EPOCHS default
-
 
 def parse_flags(tokens: list[str]) -> dict:
     """calibrate_standin-flag subset -> {size, jitter, epochs, calib{}}."""
@@ -81,17 +78,22 @@ def ship(repo: Path, win: dict, dry_run: bool = False) -> list[str]:
                        rf'\g<1>"{k}": {lit},', f'CALIB["{k}"]')
         changes.append(f'synthetic.CALIB["{k}"] = {lit}')
 
+    # Only rewrite the demo's judge-epoch default when the winner actually
+    # used the epoch lever — an epochs-less winner must not clobber the
+    # demo's independently tuned budget.
     demo_path = repo / "benchmarks" / "demo_run.sh"
-    demo = demo_path.read_text()
-    epochs = win["epochs"] or SWEEP_EPOCH_DEFAULT
-    demo = sub_once(demo, r"^EPOCHS_JUDGE=\$\{EPOCHS_JUDGE:-\d+\}$",
-                    f"EPOCHS_JUDGE=${{EPOCHS_JUDGE:-{epochs}}}",
-                    "demo_run EPOCHS_JUDGE")
-    changes.append(f"demo_run.sh EPOCHS_JUDGE default = {epochs}")
+    demo = None
+    if win["epochs"] is not None:
+        demo = sub_once(demo_path.read_text(),
+                        r"^EPOCHS_JUDGE=\$\{EPOCHS_JUDGE:-\d+\}$",
+                        f"EPOCHS_JUDGE=${{EPOCHS_JUDGE:-{win['epochs']}}}",
+                        "demo_run EPOCHS_JUDGE")
+        changes.append(f"demo_run.sh EPOCHS_JUDGE default = {win['epochs']}")
 
     if not dry_run:
         syn_path.write_text(syn)
-        demo_path.write_text(demo)
+        if demo is not None:
+            demo_path.write_text(demo)
     return changes
 
 

@@ -264,10 +264,12 @@ def test_ship_winner(tmp_path):
     spec.loader.exec_module(mod)
     assert mod.TREE_SIZE == 64 and mod.CALIB["size_small_frac"] == 0.3
 
-    # tuple-valued knobs keep their trailing comments intact
+    # tuple-valued knobs keep their trailing comments intact; an
+    # epochs-less winner must NOT touch the demo's judge-epoch default
     win2 = ship_winner.parse_flags(["--calib", "smear_len=2.0,5.0"])
     ship_winner.ship(tmp_path, win2)
     assert '"smear_len": (2.0, 5.0),' in syn.read_text()
+    assert "EPOCHS_JUDGE=${EPOCHS_JUDGE:-24}" in demo.read_text()
 
     # a knob the regex can't find fails loudly, not silently
     import pytest
