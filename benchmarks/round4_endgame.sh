@@ -129,4 +129,16 @@ done
 grep -h "img/s" "$OUT"/io_ab_native*.log 2>/dev/null \
   | tee -a "$OUT/endgame.log" || true
 
+# ---- stage 9: sync the regenerated figure artifacts into the repo ----
+# Scripts 10-13/15 write pic/ and pipeline_results/ relative to CWD
+# ($DEMO); the repo ships those as evidence (RESULTS.md points at them).
+# Copy only when the producing stages completed, leaving the git diff for
+# the session/driver to commit alongside the RESULTS.md rewrite.
+if [ -f "$DEMO/.done_12_umap" ]; then
+  cp -f "$DEMO"/pic/* "$REPO/pic/" 2>/dev/null \
+    && log "synced $DEMO/pic -> repo/pic"
+  cp -f "$DEMO"/pipeline_results/* "$REPO/pipeline_results/" 2>/dev/null \
+    && log "synced $DEMO/pipeline_results -> repo/pipeline_results"
+fi
+
 log "ENDGAME DONE"
