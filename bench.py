@@ -200,7 +200,8 @@ def _training_throughputs(size, batch=64, steps=8, unified_batch=128):
         resunet.apply, rv, optax.adamw(2e-4, weight_decay=1e-4))
 
     def vgg_apply(x01):
-        return judge.apply(jv, x01, train=False, tap_layer=PERCEPTUAL_TAP)
+        return judge.apply(jv, x01, train=False,
+                           tap_layer=judge.tap_index(PERCEPTUAL_TAP))
 
     ustep = common.make_unified_train_step(
         ucfg.mix, ucfg.perceptual_weight, vgg_apply, remat="vgg", jit=False)

@@ -67,7 +67,7 @@ def main():
 
         def vgg_apply(x01):  # frozen features[:16], un-normalized input
             return judge.apply(jvars, x01, train=False,
-                               tap_layer=PERCEPTUAL_TAP)
+                               tap_layer=judge.tap_index(PERCEPTUAL_TAP))
 
     import jax.numpy as jnp
     unet, variables = zoo.build_simple_unet(

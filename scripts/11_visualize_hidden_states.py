@@ -23,7 +23,9 @@ def main():
     p.add_argument("--sample", default=None,
                    help="relative path of the sample image "
                         "(default: first found)")
-    p.add_argument("--layer", type=int, default=HIDDEN_STATE_TAP)
+    p.add_argument("--layer", type=int, default=HIDDEN_STATE_TAP,
+                   help="feature tap in plain-vgg16 (reference) indexing; "
+                        "translated automatically for a batchnorm judge")
     p.add_argument("--out", default="hidden_state_visualization.png")
     args = p.parse_args()
     args.model = args.model or judge_ckpt_path(args)
@@ -32,7 +34,8 @@ def main():
     ncls = args.num_classes or len(gtsrb.ImageFolder(clean_root).classes)
     judge, jv = zoo.load_model("vgg16", args.model, args.image_size,
                                num_classes=ncls)
-    tap = interpret.make_tap_fn(judge.apply, tap_layer=args.layer)
+    tap = interpret.make_tap_fn(judge.apply,
+                                tap_layer=judge.tap_index(args.layer))
 
     if args.sample:
         rel = Path(args.sample)

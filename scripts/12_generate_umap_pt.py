@@ -16,6 +16,7 @@ from _common import (PROCESSED, RESTORED, base_parser, ensure_clean_tree,
 
 from tsr_tpu import interpret, viz, zoo
 from tsr_tpu.data import gtsrb
+from tsr_tpu.models.vgg import GAP_TAP
 
 
 def main():
@@ -67,7 +68,9 @@ def main():
         else:
             print(f"Skipping mode '{mode}': no files")
 
-    feats = interpret.collect_mode_embeddings(judge.apply, jv, mode_batches)
+    feats = interpret.collect_mode_embeddings(
+        judge.apply, jv, mode_batches,
+        tap_layer=judge.tap_index(GAP_TAP))
     all_feats = np.concatenate([feats[m] for m in mode_batches])
     all_labels = sum(([m] * len(feats[m]) for m in mode_batches), [])
     print(f"Features: {all_feats.shape}")

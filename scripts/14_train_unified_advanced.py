@@ -78,7 +78,7 @@ def main():
 
             def vgg_apply(x01):
                 return judge.apply(jvars, x01, train=False,
-                                   tap_layer=PERCEPTUAL_TAP)
+                                   tap_layer=judge.tap_index(PERCEPTUAL_TAP))
         else:
             print(f"Judge checkpoint {args.judge} missing; "
                   "training with L1 only")

@@ -73,6 +73,39 @@ def test_vgg_taps_and_logits():
     assert np.allclose(np.asarray(logits), np.asarray(logits2))
 
 
+def test_vgg_tap_index_bn_translation():
+    """tap_index maps plain-vgg16 (reference) indices to the bn variant.
+
+    torchvision vgg16_bn interleaves a BatchNorm after every conv, so the
+    reference tap constants (2/15/30) address different layers there;
+    using them raw on a bn judge silently taps the wrong layer."""
+    from tsr_tpu.models.vgg import GAP_TAP, HIDDEN_STATE_TAP, PERCEPTUAL_TAP
+
+    plain = VGG16(num_classes=5)
+    # identity without batchnorm
+    for k in (0, HIDDEN_STATE_TAP, PERCEPTUAL_TAP, GAP_TAP):
+        assert plain.tap_index(k) == k
+
+    bn = VGG16(num_classes=5, use_batchnorm=True)
+    # hand-computed against torchvision vgg16_bn's features indexing:
+    # conv1_1 0->0, conv1_2 2->3, relu3_3 15->22, final pool 30->43
+    assert bn.tap_index(0) == 0
+    assert bn.tap_index(HIDDEN_STATE_TAP) == 3
+    assert bn.tap_index(PERCEPTUAL_TAP) == 22
+    assert bn.tap_index(GAP_TAP) == 43
+    with pytest.raises(ValueError):
+        bn.tap_index(99)
+
+    # functional: the translated GAP tap is the final pool ([/32 res]);
+    # the raw plain index on the bn variant lands mid-block-4 instead
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = bn.init(jax.random.PRNGKey(0), x)
+    good = bn.apply(v, x, tap_layer=bn.tap_index(GAP_TAP))
+    assert good.shape == (1, 2, 2, 512)
+    wrong = bn.apply(v, x, tap_layer=GAP_TAP)
+    assert wrong.shape != good.shape
+
+
 def test_vgg_dropout_train_mode():
     m = VGG16(num_classes=5, cfg=(8, "M", 16, "M"), fc_width=32)
     x = jnp.ones((1, 32, 32, 3), jnp.float32)

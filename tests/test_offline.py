@@ -72,6 +72,40 @@ def test_image_folder_and_batches(clean_tree):
     assert imgs.shape[1:] == (32, 32, 3) and imgs.dtype == np.uint8
 
 
+def test_batches_producer_error_propagates(clean_tree):
+    """A decode/transform failure in the prefetch producer thread must
+    re-raise in the consumer, not hang it forever on q.get() (the failure
+    mode that would silently wedge a multi-hour unattended run)."""
+    ds = gtsrb.ImageFolder(str(clean_tree), size=32)
+
+    def bad_transform(item):
+        raise RuntimeError("boom in producer")
+
+    it = gtsrb.batches(ds, batch_size=4, epochs=1, transform=bad_transform)
+    with pytest.raises(RuntimeError, match="boom in producer"):
+        next(it)
+
+    # and a missing file (decode error) propagates the same way
+    ds2 = gtsrb.ImageFolder(str(clean_tree), size=32)
+    ds2.samples[0] = (str(clean_tree / "nope" / "missing.ppm"),
+                      ds2.samples[0][1])
+    it2 = gtsrb.batches(ds2, batch_size=4, shuffle=False, epochs=1)
+    with pytest.raises(Exception):
+        next(it2)
+
+
+def test_pad_reflect_degenerate_dims():
+    """_pad_reflect must terminate on 1-pixel-wide/tall images (reflect
+    padding of width dim-1 == 0 used to spin the tiling loop forever)."""
+    from tsr_tpu import offline
+
+    for shape in ((1, 5, 3), (5, 1, 3), (1, 1, 3)):
+        img = np.full(shape, 7, np.uint8)
+        out = offline._pad_reflect(img, 32, 32)
+        assert out.shape == (32, 32, 3)
+        assert (out == 7).all()  # edge-pad of a constant image
+
+
 def test_pil_resize_backend(tmp_path):
     """--resize-backend pil gives exact PIL BILINEAR output (the
     reference's torchvision Resize semantics) and restores cleanly."""

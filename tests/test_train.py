@@ -163,3 +163,30 @@ def test_val_wrap_pad_tiny_val_sets():
 
     with pytest.raises(ValueError):
         _val_wrap_pad(np.array([], np.int32), 4)
+
+
+def test_train_restorer_periodic_does_not_clobber_best(tmp_path):
+    """checkpoint_every + save_best share one save_path: the best state
+    must be re-written last, and the retained best snapshot must survive
+    donated train-step buffers (a bare reference would be deleted)."""
+    from tsr_tpu import zoo
+    from tsr_tpu.train import loops
+
+    state = _unet_state()
+    rng = np.random.default_rng(0)
+    clean = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+    bad = np.clip(clean.astype(int)
+                  + rng.integers(-40, 40, clean.shape), 0, 255
+                  ).astype(np.uint8)
+    step = common.make_restoration_train_step(pixel="mse")
+    ev = common.make_restoration_eval_step(pixel="mse")
+    sp = str(tmp_path / "ck")
+    seen = []
+    loops.train_restorer(
+        state, lambda e: [(bad, clean)], lambda: [(bad, clean)],
+        4, step, ev, save_path=sp, checkpoint_every=1, save_best=True,
+        log=seen.append)
+    # the final write is the best re-write (logged after the epoch loop)
+    assert any(s.startswith("saved best checkpoint") for s in seen[-1:])
+    m, mv = zoo.load_model("simple_unet", sp, 16)
+    assert jax.tree.leaves(mv)  # loads and is non-empty

@@ -262,34 +262,41 @@ def batches(
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
-    def producer():
-        rng = np.random.default_rng(seed)
-        epoch = 0
-        while epochs is None or epoch < epochs:
-            order = rng.permutation(indices) if shuffle else indices
-            limit = (len(order) // batch_size * batch_size
-                     if drop_remainder else len(order))
-            for s in range(0, limit, batch_size):
-                if stop.is_set():
-                    return
-                chunk = order[s:s + batch_size]
-                item = _load_chunk(dataset, chunk, workers)
-                if transform is not None:
-                    item = transform(item)
-                # bounded put that still honors early consumer exit
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
-            epoch += 1
+    def _put(item) -> bool:
+        """Bounded put that still honors early consumer exit."""
         while not stop.is_set():
             try:
-                q.put(None, timeout=0.5)
-                break
+                q.put(item, timeout=0.5)
+                return True
             except queue.Full:
                 continue
+        return False
+
+    def producer():
+        # Any decode/transform failure is shipped to the consumer and
+        # re-raised there: a bare daemon-thread death would leave the
+        # consumer blocked on q.get() forever (hangs multi-hour unattended
+        # runs on one corrupt image instead of failing loudly).
+        try:
+            rng = np.random.default_rng(seed)
+            epoch = 0
+            while epochs is None or epoch < epochs:
+                order = rng.permutation(indices) if shuffle else indices
+                limit = (len(order) // batch_size * batch_size
+                         if drop_remainder else len(order))
+                for s in range(0, limit, batch_size):
+                    if stop.is_set():
+                        return
+                    chunk = order[s:s + batch_size]
+                    item = _load_chunk(dataset, chunk, workers)
+                    if transform is not None:
+                        item = transform(item)
+                    if not _put(item):
+                        return
+                epoch += 1
+            _put(None)
+        except BaseException as e:  # noqa: BLE001 — relayed, not swallowed
+            _put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -298,6 +305,8 @@ def batches(
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()

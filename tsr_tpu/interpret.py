@@ -20,7 +20,7 @@ TSNE(cosine) and PCA remain as fallbacks. The export schema is unchanged.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -112,10 +112,18 @@ def collect_mode_embeddings(
     variables,
     mode_batches: Dict[str, "np.ndarray"],
     batch_size: int = 64,
+    tap_layer: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """GAP-embed a dict of mode-name -> uint8 image stacks (the 7 modes of
-    ref:12:21-29) and return mode -> [n,512] features."""
-    tap = make_tap_fn(vgg_apply, tap_layer=30)
+    ref:12:21-29) and return mode -> [n,512] features.
+
+    ``tap_layer`` defaults to the plain-vgg16 final pool (GAP_TAP);
+    batchnorm judges must pass ``model.tap_index(GAP_TAP)``."""
+    if tap_layer is None:
+        from tsr_tpu.models.vgg import GAP_TAP
+
+        tap_layer = GAP_TAP
+    tap = make_tap_fn(vgg_apply, tap_layer=tap_layer)
     out: Dict[str, np.ndarray] = {}
     for mode, imgs in mode_batches.items():
         feats: List[np.ndarray] = []

@@ -33,7 +33,7 @@ VGG16_CFG: Tuple = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
 # conv indices: 0,2, 5,7, 10,12,14, 17,19,21, 24,26,28; pools: 4,9,16,23,30;
 # relu follows each conv at +1.
 PERCEPTUAL_TAP = 15   # end of features[:16] == relu3_3 (ref:07adv:102-103)
-HIDDEN_STATE_TAP = 2  # relu1_2 (ref:11:93)
+HIDDEN_STATE_TAP = 2  # conv1_2 pre-activation output (ref:11:93)
 GAP_TAP = 30          # final pool -> [B,7,7,512] (ref:12:37-44)
 
 
@@ -56,6 +56,36 @@ class VGG16(nn.Module):
     # Architecture knobs (reference = torchvision defaults); shrink for tests.
     cfg: Tuple = VGG16_CFG
     fc_width: int = 4096
+
+    def tap_index(self, plain_idx: int) -> int:
+        """Translate a plain-vgg16 ``features`` index (the reference's
+        numbering — ``PERCEPTUAL_TAP``/``HIDDEN_STATE_TAP``/``GAP_TAP``)
+        into THIS variant's torch index.
+
+        ``tap_layer`` mirrors torchvision indexing for the built variant,
+        and vgg16_bn interleaves a BatchNorm after every conv, shifting
+        every index downstream of conv1_1 — tapping a bn-variant judge
+        with a plain index silently returns a different layer. Identity
+        when ``use_batchnorm=False``; BN layers themselves have no plain
+        equivalent and cannot be addressed through this mapping.
+        """
+        if not self.use_batchnorm:
+            return plain_idx
+        plain = bn = 0
+        for v in self.cfg:
+            if v == "M":
+                if plain_idx == plain:
+                    return bn
+                plain += 1
+                bn += 1
+            else:
+                if plain_idx == plain:      # the conv itself
+                    return bn
+                if plain_idx == plain + 1:  # its relu (conv, bn, relu)
+                    return bn + 2
+                plain += 2
+                bn += 3
+        raise ValueError(f"plain tap index {plain_idx} out of range")
 
     @nn.compact
     def __call__(
@@ -130,7 +160,9 @@ class VGG16(nn.Module):
 
 def feature_slice_apply(vgg: VGG16, variables, x, upto: int = 16,
                         train: bool = False):
-    """Run ``features[:upto]`` (torch indexing) — i.e. tap at ``upto - 1``.
+    """Run ``features[:upto]`` (plain-vgg16 torch indexing) — i.e. tap at
+    ``upto - 1``, translated for batchnorm variants via ``tap_index``.
 
     The perceptual loss uses ``upto=16`` (ref:07adv:102-103)."""
-    return vgg.apply(variables, x, train=train, tap_layer=upto - 1)
+    return vgg.apply(variables, x, train=train,
+                     tap_layer=vgg.tap_index(upto - 1))

@@ -25,6 +25,10 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # -march=native makes the binary host-specific, which is why the .so
+    # is gitignored and always built locally on first use: a foreign
+    # prebuilt binary would dlopen fine and then die with an uncatchable
+    # SIGILL on the first unsupported instruction.
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
            "-pthread", _SRC, "-o", _LIB, "-lz"]
     try:

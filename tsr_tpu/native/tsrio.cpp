@@ -103,7 +103,12 @@ bool decode_bmp(const std::vector<uint8_t>& buf, Image& img) {
   int32_t w = rd32(18), h_raw = rd32(22);
   int bpp = rd16(28);
   int32_t comp = rd32(30);
-  if (comp != 0 || (bpp != 24 && bpp != 32) || w <= 0) return false;
+  // h_raw == 0 would pass the buffer-size check with an empty pixel
+  // buffer and send h=0 into resize_bilinear (reads at src.h-1 == -1);
+  // INT32_MIN can't be negated. Reject both along with bad offsets.
+  if (comp != 0 || (bpp != 24 && bpp != 32) || w <= 0 || h_raw == 0 ||
+      h_raw == INT32_MIN || data_off < 54)
+    return false;
   bool bottom_up = h_raw > 0;
   int h = bottom_up ? h_raw : -h_raw;
   int stride = ((w * (bpp / 8)) + 3) & ~3;

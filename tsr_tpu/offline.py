@@ -41,14 +41,20 @@ def _pad_reflect(img: np.ndarray, h: int, w: int) -> np.ndarray:
     ph, pw = h - img.shape[0], w - img.shape[1]
     if ph == 0 and pw == 0:
         return img
-    # Tile reflect-101 padding if the image is smaller than the pad needs
+    # Tile reflect-101 padding if the image is smaller than the pad needs.
+    # A dimension of 1 can't reflect (dim-1 == 0 pad is a no-op and would
+    # spin this loop forever on a degenerate 1xN crop) — edge-pad it first.
     out = img
+    if out.shape[0] == 1 or out.shape[1] == 1:
+        out = np.pad(out, ((0, int(out.shape[0] == 1)),
+                           (0, int(out.shape[1] == 1)), (0, 0)),
+                     mode="edge")
     while out.shape[0] < h or out.shape[1] < w:
         eh = min(h - out.shape[0], out.shape[0] - 1)
         ew = min(w - out.shape[1], out.shape[1] - 1)
         out = np.pad(out, ((0, max(eh, 0)), (0, max(ew, 0)), (0, 0)),
                      mode="reflect")
-    return out
+    return out[:h, :w]
 
 
 KINDS: Dict[str, Tuple[Callable, bool, str]] = {}

@@ -153,15 +153,10 @@ def train_judge_on_device(
         raise ValueError(f"fewer than one batch: {len(tr_idx)} < {bs}")
 
     # validation: pad to a batch multiple, mask the tail
-    va_idx = np.asarray(va_idx, np.int32)
     n_val = len(va_idx)
-    vsteps = max(1, (n_val + bs - 1) // bs)
-    va_pad = np.concatenate(
-        [va_idx, np.zeros(vsteps * bs - n_val, np.int32)])
-    va_mask = np.concatenate(
-        [np.ones(n_val, np.float32), np.zeros(vsteps * bs - n_val)])
-    va_pad_d = jax.device_put(va_pad.reshape(vsteps, bs))
-    va_mask_d = jax.device_put(va_mask.reshape(vsteps, bs))
+    va_pad, va_mask = _val_wrap_pad(va_idx, bs)
+    va_pad_d = jax.device_put(va_pad)
+    va_mask_d = jax.device_put(va_mask)
 
     step_fn = common.make_judge_train_step(cfg.label_smoothing, jit=False)
 
@@ -491,7 +486,7 @@ def train_restorer(
         state, mesh,
         pmesh.RESTORER_TP_RULES if mesh is not None
         and mesh.shape.get("model", 1) > 1 else ())
-    best_loss = float("inf")
+    best_loss, best_state = float("inf"), None
     for epoch in range(epochs):
         t0 = time.perf_counter()
         losses_, n_img = [], 0
@@ -523,10 +518,24 @@ def train_restorer(
                 _save_ckpt(save_path, state, ckpt_config)
             if save_best and vl < best_loss:
                 best_loss = vl
+                if checkpoint_every:
+                    # deep-copy: the train step donates its state input,
+                    # so a bare reference would alias buffers a later
+                    # step deletes
+                    import jax.numpy as jnp
+
+                    best_state = jax.tree.map(jnp.copy, state)
                 _save_ckpt(save_path, state, ckpt_config)
                 log("  saved best (val loss)")
-    if save_path and not save_best:
-        _save_ckpt(save_path, state, ckpt_config)
+    if save_path:
+        if not save_best:
+            _save_ckpt(save_path, state, ckpt_config)
+        elif best_state is not None and checkpoint_every:
+            # a periodic checkpoint after the best epoch overwrote the
+            # best weights at the shared save_path — re-write the best
+            # last, matching train_restorer_on_device's semantics
+            _save_ckpt(save_path, best_state, ckpt_config)
+            log(f"saved best checkpoint (val loss {best_loss:.6f})")
     return state
 
 
