@@ -1,7 +1,8 @@
 """Judge accuracy over {clean, noisy, blurred, foggy} trees (ref:06)."""
 
-from _common import (PROCESSED, base_parser, ensure_clean_tree,
-                     judge_ckpt_path, mesh_from_args)
+from _common import (PROCESSED, add_int8_flag, base_parser,
+                     ensure_clean_tree, judge_ckpt_path, maybe_int8_judge,
+                     mesh_from_args)
 
 from tsr_tpu import eval as tsr_eval
 from tsr_tpu import zoo
@@ -14,6 +15,7 @@ def main():
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--batchnorm", action="store_true")
+    add_int8_flag(p)
     args = p.parse_args()
     args.model = args.model or judge_ckpt_path(args)
     clean = ensure_clean_tree(args)
@@ -25,6 +27,7 @@ def main():
     judge, jv = zoo.load_model("vgg16", args.model, args.image_size,
                                num_classes=ncls,
                                use_batchnorm=args.batchnorm)
+    japply, jv = maybe_int8_judge(args, judge, jv)
     mesh = mesh_from_args(args)
     test_dirs = {
         "Clean (Original)": clean,
@@ -38,7 +41,7 @@ def main():
             print(f"Skipping {name}: {path} not found")
             continue
         r = tsr_eval.evaluate_directory(
-            judge.apply, jv, path, batch_size=args.batch_size,
+            japply, jv, path, batch_size=args.batch_size,
             size=args.image_size, mesh=mesh)
         results[name] = r["top1"]
         print(f"Result [{name}] Accuracy: {r['top1'] * 100:.2f}% "

@@ -4,8 +4,9 @@ Restored row restores the Distorted tree inside the eval graph with the
 specialized SimpleUNet checkpoint — no ``data/restored`` disk round-trip
 (the reference re-reads restored PNGs, ref:09:15-26)."""
 
-from _common import (PROCESSED, RESTORED, base_parser, ensure_clean_tree,
-                     judge_ckpt_path, mesh_from_args, restorer_ckpt_path)
+from _common import (PROCESSED, RESTORED, add_int8_flag, base_parser,
+                     ensure_clean_tree, judge_ckpt_path, maybe_int8_judge,
+                     mesh_from_args, restorer_ckpt_path)
 
 from tsr_tpu import eval as tsr_eval
 from tsr_tpu import zoo
@@ -21,6 +22,7 @@ def main():
                    help="restore on the fly inside the eval graph from "
                         "the specialized checkpoints instead of reading "
                         "data/restored from disk")
+    add_int8_flag(p)
     args = p.parse_args()
     args.model = args.model or judge_ckpt_path(args)
     clean = ensure_clean_tree(args)
@@ -31,6 +33,7 @@ def main():
     ncls = args.num_classes or len(gtsrb.ImageFolder(clean).classes)
     judge, jv = zoo.load_model("vgg16", args.model, args.image_size,
                                num_classes=ncls)
+    japply, jv = maybe_int8_judge(args, judge, jv)
     mesh = mesh_from_args(args)
 
     def score(name, path, **kw):
@@ -38,7 +41,7 @@ def main():
             print(f"Skipping {name}: {path} not found")
             return
         r = tsr_eval.evaluate_directory(
-            judge.apply, jv, path, batch_size=args.batch_size,
+            japply, jv, path, batch_size=args.batch_size,
             size=args.image_size, mesh=mesh, **kw)
         results[name] = r["top1"]
         print(f"Result [{name}] Accuracy: {r['top1'] * 100:.2f}% "

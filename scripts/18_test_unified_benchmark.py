@@ -1,8 +1,9 @@
 """Judge accuracy over {clean, compound, unified-restored} (ref:18), plus
 the fully-fused on-device variant (no restored tree on disk needed)."""
 
-from _common import (PROCESSED, RESTORED, base_parser, ensure_clean_tree,
-                     judge_ckpt_path, mesh_from_args, unified_ckpt_path)
+from _common import (PROCESSED, RESTORED, add_int8_flag, base_parser,
+                     ensure_clean_tree, judge_ckpt_path, maybe_int8_judge,
+                     mesh_from_args, unified_ckpt_path)
 
 from tsr_tpu import eval as tsr_eval
 from tsr_tpu import zoo
@@ -18,6 +19,7 @@ def main():
     p.add_argument("--fused", action="store_true",
                    help="restore on the fly inside the eval graph instead "
                         "of reading data/restored from disk")
+    add_int8_flag(p)
     args = p.parse_args()
     args.model = args.model or judge_ckpt_path(args)
     args.unified = args.unified or unified_ckpt_path(args)
@@ -29,6 +31,7 @@ def main():
     ncls = args.num_classes or len(gtsrb.ImageFolder(clean).classes)
     judge, jv = zoo.load_model("vgg16", args.model, args.image_size,
                                num_classes=ncls)
+    japply, jv = maybe_int8_judge(args, judge, jv)
     mesh = mesh_from_args(args)
 
     results = {}
@@ -38,7 +41,7 @@ def main():
             print(f"Skipping {name}: {path} not found")
             continue
         r = tsr_eval.evaluate_directory(
-            judge.apply, jv, path, batch_size=args.batch_size,
+            japply, jv, path, batch_size=args.batch_size,
             size=args.image_size)
         results[name] = r["top1"]
         print(f"Result [{name}] Accuracy: {r['top1'] * 100:.2f}% "
@@ -48,7 +51,7 @@ def main():
         resunet, rv = zoo.load_model("resunet", args.unified,
                                      args.image_size)
         r = tsr_eval.evaluate_directory(
-            judge.apply, jv, f"{PROCESSED}/Compound",
+            japply, jv, f"{PROCESSED}/Compound",
             batch_size=args.batch_size, size=args.image_size, mesh=mesh,
             restorer_apply=lambda v, x: resunet.apply(v, x, train=False),
             restorer_vars=rv)
@@ -57,7 +60,7 @@ def main():
               f"{r['top1'] * 100:.2f}%")
     elif os.path.exists(f"{RESTORED}/Compound"):
         r = tsr_eval.evaluate_directory(
-            judge.apply, jv, f"{RESTORED}/Compound",
+            japply, jv, f"{RESTORED}/Compound",
             batch_size=args.batch_size, size=args.image_size, mesh=mesh)
         results["Unified Restored"] = r["top1"]
         print(f"Result [Unified Restored] Accuracy: {r['top1'] * 100:.2f}%")

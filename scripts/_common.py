@@ -61,6 +61,24 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     return p
 
 
+def add_int8_flag(p):
+    """--int8 for the accuracy/serving harnesses (scripts 06/09/18)."""
+    p.add_argument("--int8", action="store_true",
+                   help="quantize the judge to int8 (per-channel weights, "
+                        "dynamic activations) and classify on the MXU's "
+                        "int8 path — serving mode; see tsr_tpu/quant.py")
+    return p
+
+
+def maybe_int8_judge(args, judge, judge_vars):
+    """(judge_apply, judge_vars) honoring ``--int8``."""
+    if getattr(args, "int8", False):
+        from tsr_tpu import quant
+
+        return quant.quantized_judge(judge, judge_vars)
+    return judge.apply, judge_vars
+
+
 def mesh_from_args(args):
     """Build the jax.sharding.Mesh requested by --mesh (or None)."""
     spec = getattr(args, "mesh", None)
