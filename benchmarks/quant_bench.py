@@ -51,6 +51,7 @@ def main():
     restorer = ResUNet(dtype=jnp.bfloat16)
     rv = restorer.init(k, jnp.zeros((1, size, size, 3), jnp.float32),
                        train=False)
+    rq_apply, rqv = quant.quantized_restorer(restorer, rv)
 
     rng = np.random.default_rng(0)
     data = jax.device_put(rng.integers(
@@ -63,10 +64,12 @@ def main():
             return None, jnp.argmax(logits, -1)
         return body
 
-    def fused_path(japply):
+    def fused_path(japply, rapply=None):
+        rapply = rapply or (lambda x: restorer.apply(rv, x, train=False))
+
         def body(_, chunk):
             x01 = image_ops.to_float01(chunk)
-            out = restorer.apply(rv, x01, train=False)
+            out = rapply(x01)
             out = jnp.clip(out, 0.0, 1.0)
             out = jnp.trunc(out * 255.0) / 255.0  # PNG round-trip parity
             logits = japply(image_ops.imagenet_normalize(out))
@@ -87,24 +90,32 @@ def main():
             times.append(time.perf_counter() - t0)
         return chunks * batch / min(times)
 
+    judge_fp = lambda x: judge.apply(jv, x, train=False)   # noqa: E731
+    judge_q = lambda x: q_apply(qv, x)                     # noqa: E731
+    rest_q = lambda x: rq_apply(rqv, x)                    # noqa: E731
+    runs = (
+        ("classify bf16", classify_path(judge_fp)),
+        ("classify int8-judge", classify_path(judge_q)),
+        ("fused bf16", fused_path(judge_fp)),
+        ("fused int8-judge", fused_path(judge_q)),
+        ("fused int8-full", fused_path(judge_q, rest_q)),
+    )
     cells = {}
-    for path_name, path in (("classify", classify_path),
-                            ("fused", fused_path)):
-        for jname, japply in (
-                ("bf16", lambda x: judge.apply(jv, x, train=False)),
-                ("int8", lambda x: q_apply(qv, x))):
-            ips = measure(path(japply))
-            cells[(path_name, jname)] = ips
-            print(json.dumps({
-                "metric": f"{path_name} eval throughput, judge={jname}, "
-                          f"{size}x{size}, batch {batch}x{chunks}",
-                "value": round(ips, 1), "unit": "images/sec/chip"}))
+    for name, body in runs:
+        ips = measure(body)
+        cells[name] = ips
+        print(json.dumps({
+            "metric": f"{name} eval throughput, {size}x{size}, "
+                      f"batch {batch}x{chunks}",
+            "value": round(ips, 1), "unit": "images/sec/chip"}))
 
-    print(f"\n| path | bf16 img/s | int8 img/s | speedup |")
-    print(f"|---|---|---|---|")
+    print("\n| config | img/s | vs bf16 |")
+    print("|---|---|---|")
     for p in ("classify", "fused"):
-        b, q = cells[(p, "bf16")], cells[(p, "int8")]
-        print(f"| {p} | {b:.1f} | {q:.1f} | {q / b:.2f}x |")
+        base = cells[f"{p} bf16"]
+        for name, ips in cells.items():
+            if name.startswith(p):
+                print(f"| {name} | {ips:.1f} | {ips / base:.2f}x |")
 
 
 if __name__ == "__main__":

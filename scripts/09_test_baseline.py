@@ -6,7 +6,8 @@ specialized SimpleUNet checkpoint — no ``data/restored`` disk round-trip
 
 from _common import (PROCESSED, RESTORED, add_int8_flag, base_parser,
                      ensure_clean_tree, judge_ckpt_path, maybe_int8_judge,
-                     mesh_from_args, restorer_ckpt_path)
+                     maybe_int8_restorer, mesh_from_args,
+                     restorer_ckpt_path)
 
 from tsr_tpu import eval as tsr_eval
 from tsr_tpu import zoo
@@ -59,8 +60,9 @@ def main():
                 continue
             unet, uv = zoo.load_model("simple_unet", ckpt,
                                       args.image_size)
+            uapply, uv = maybe_int8_restorer(args, unet, uv)
             score(f"{task} (Restored, fused)", f"{PROCESSED}/{task}",
-                  restorer_apply=unet.apply, restorer_vars=uv)
+                  restorer_apply=uapply, restorer_vars=uv)
         else:
             score(f"{task} (Restored)", f"{RESTORED}/{task}")
     print(reporting.accuracy_report(

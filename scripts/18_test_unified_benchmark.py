@@ -50,11 +50,11 @@ def main():
     if args.fused:
         resunet, rv = zoo.load_model("resunet", args.unified,
                                      args.image_size)
+        rapply, rv = maybe_int8_restorer(args, resunet, rv, unified=True)
         r = tsr_eval.evaluate_directory(
             japply, jv, f"{PROCESSED}/Compound",
             batch_size=args.batch_size, size=args.image_size, mesh=mesh,
-            restorer_apply=lambda v, x: resunet.apply(v, x, train=False),
-            restorer_vars=rv)
+            restorer_apply=rapply, restorer_vars=rv)
         results["Unified Restored (fused)"] = r["top1"]
         print(f"Result [Unified Restored (fused)] Accuracy: "
               f"{r['top1'] * 100:.2f}%")

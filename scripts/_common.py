@@ -79,6 +79,20 @@ def maybe_int8_judge(args, judge, judge_vars):
     return judge.apply, judge_vars
 
 
+def maybe_int8_restorer(args, model, variables, unified=False):
+    """(restorer_apply, restorer_vars) honoring ``--int8``.
+
+    ``unified=True`` wraps the fp ResUNet with ``train=False`` (the int8
+    forward is inference-only already)."""
+    if getattr(args, "int8", False):
+        from tsr_tpu import quant
+
+        return quant.quantized_restorer(model, variables)
+    if unified:
+        return (lambda v, x: model.apply(v, x, train=False)), variables
+    return model.apply, variables
+
+
 def mesh_from_args(args):
     """Build the jax.sharding.Mesh requested by --mesh (or None)."""
     spec = getattr(args, "mesh", None)

@@ -65,6 +65,48 @@ def test_int8_forward_folds_batchnorm():
     assert top1 >= 0.8, top1
 
 
+def _rel_err(ref, got):
+    ref, got = np.asarray(ref, np.float64), np.asarray(got, np.float64)
+    return float(np.sqrt(np.mean((ref - got) ** 2))
+                 / (np.std(ref) + 1e-12))
+
+
+def test_int8_simple_unet_matches_fp32():
+    from tsr_tpu.models import SimpleUNet
+
+    unet = SimpleUNet(widths=(8, 16))
+    x = jnp.asarray(np.random.default_rng(3).uniform(
+        0, 1, (4, 32, 32, 3)).astype(np.float32))
+    variables = unet.init(jax.random.PRNGKey(0), x[:1])
+    ref = unet.apply(variables, x)
+    apply_q, qvars = quant.quantized_restorer(unet, variables)
+    got = jax.jit(apply_q)(qvars, x)
+    assert got.shape == ref.shape
+    assert _rel_err(ref, got) < 0.06, _rel_err(ref, got)
+
+
+def test_int8_resunet_matches_fp32():
+    from tsr_tpu.models import ResUNet
+
+    resunet = ResUNet(widths=(8, 16, 24), bottleneck_width=32)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    variables = resunet.init(jax.random.PRNGKey(0), x[:1], train=True)
+    # perturb BN stats/affine so the fold is non-trivial
+    variables = {
+        "params": variables["params"],
+        "batch_stats": jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(
+                rng.uniform(0.05, 0.3, a.shape).astype(np.float32)),
+            variables["batch_stats"]),
+    }
+    ref = resunet.apply(variables, x, train=False)
+    apply_q, qvars = quant.quantized_restorer(resunet, variables)
+    got = jax.jit(apply_q)(qvars, x)
+    assert got.shape == ref.shape
+    assert _rel_err(ref, got) < 0.08, _rel_err(ref, got)
+
+
 def test_quantized_judge_drops_into_fused_eval():
     judge = VGG16(num_classes=4, cfg=TINY_CFG, fc_width=32)
     imgs, labels = synthetic.make_dataset(4, 4, 32)

@@ -169,3 +169,158 @@ def quantized_judge(model: VGG16, variables):
     """One-call convenience: ``(judge_apply, qvars)`` for eval harnesses."""
     qvars = quantize_vgg16(model, variables)
     return make_int8_judge_apply(model), qvars
+
+
+# ---------------------------------------------------------------------------
+# Restorers. The fused serving path's FLOPs are dominated by the restorer
+# (RESULTS.md roofline: ResUNet fwd ~55 GFLOP/img vs VGG16 ~15.5), so the
+# int8 MXU win needs the restorer quantized too. Both restorers are plain
+# conv graphs: SimpleUNet (ref:07:75-120) has no normalization at all;
+# ResUNet (ref:14:96-186) pairs every conv with a BatchNorm, folded here
+# from the running statistics (inference form).
+# ---------------------------------------------------------------------------
+
+
+def _q_from(kernel, bias, axes=(0, 1, 2)):
+    q, s = absmax_quantize(kernel, axes=axes)
+    return {"q": q, "scale": s, "bias": jnp.asarray(bias, jnp.float32)}
+
+
+def _fold_conv_bn(conv, bn, stats):
+    """Inference-form BatchNorm folded into the preceding conv."""
+    g = bn["scale"] / jnp.sqrt(stats["var"] + 1e-5)
+    return (conv["kernel"] * g[None, None, None, :],
+            (conv["bias"] - stats["mean"]) * g + bn["bias"])
+
+
+def _qconv_t(h, layer):
+    """int8 ConvTranspose(k=2, s=2, VALID) — flax semantics."""
+    xq, sx = _quantize_act(h)
+    y = lax.conv_transpose(
+        xq, layer["q"], (2, 2), "VALID",
+        dimension_numbers=_CONV_DIMS, preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (sx * layer["scale"]) + layer["bias"]
+
+
+def _maxpool2(h):
+    return lax.reduce_window(h, -jnp.inf, lax.max, (1, 2, 2, 1),
+                             (1, 2, 2, 1), "VALID")
+
+
+def quantize_simple_unet(model, variables) -> Dict[str, Any]:
+    """int8 tree for a trained SimpleUNet (``tsr_tpu.models.unet``)."""
+    p = variables["params"]
+    n = len(model.widths)
+
+    def dc(name):
+        return {"conv1": _q_from(**p[name]["conv1"]),
+                "conv2": _q_from(**p[name]["conv2"])}
+
+    return {
+        "encs": [dc(f"enc{i + 1}") for i in range(n)],
+        "bottleneck": dc("bottleneck"),
+        "decs": [dc(f"dec{i + 1}") for i in range(n)],
+        "ups": [_q_from(**p[f"up{i + 1}"]) for i in range(n)],
+        "final": _q_from(**p["final"]),
+    }
+
+
+def make_int8_unet_apply(model):
+    """int8 forward matching ``SimpleUNet.__call__`` (inference)."""
+    n = len(model.widths)
+
+    def dc(h, layer):
+        h = _qconv(h, layer["conv1"])
+        return _qconv(h, layer["conv2"])
+
+    def apply(qvars, x):
+        h = x.astype(jnp.float32)
+        skips = []
+        for i in range(n):
+            h = dc(h, qvars["encs"][i])
+            skips.append(h)
+            h = _maxpool2(h)
+        h = dc(h, qvars["bottleneck"])
+        for i in reversed(range(n)):
+            h = _qconv_t(h, qvars["ups"][i])
+            h = jnp.concatenate([h, skips[i]], axis=-1)  # decoder first
+            h = dc(h, qvars["decs"][i])
+        return _qconv(h, qvars["final"], relu=False)
+
+    return apply
+
+
+def quantize_resunet(model, variables) -> Dict[str, Any]:
+    """int8 tree for a trained ResUNet — BatchNorms folded from
+    ``batch_stats`` (inference form) into their convs."""
+    p, st = variables["params"], variables["batch_stats"]
+
+    def block(name):
+        b, s = p[name], st[name]
+        out = {
+            "conv1": _q_from(*_fold_conv_bn(b["conv1"], b["bn1"], s["bn1"])),
+            "conv2": _q_from(*_fold_conv_bn(b["conv2"], b["bn2"], s["bn2"])),
+            "alpha": jnp.asarray(b["prelu"]["alpha"], jnp.float32),
+        }
+        if "shortcut_conv" in b:
+            out["shortcut"] = _q_from(*_fold_conv_bn(
+                b["shortcut_conv"], b["shortcut_bn"], s["shortcut_bn"]))
+        return out
+
+    n = len(model.widths)
+    return {
+        "stem": _q_from(**p["stem_conv"]),
+        "stem_alpha": jnp.asarray(p["stem_prelu"]["alpha"], jnp.float32),
+        "encs": [block(f"res{i + 1}") for i in range(n)],
+        "bottlenecks": [block(f"bottleneck{i + 1}") for i in range(3)],
+        "ups": [_q_from(**p[f"up{i + 1}"]) for i in range(n)],
+        "decs": [block(f"dec{i + 1}") for i in range(n)],
+        "final": _q_from(**p["final"]),
+    }
+
+
+def make_int8_resunet_apply(model):
+    """int8 forward matching ``ResUNet.__call__`` (inference)."""
+    n = len(model.widths)
+
+    def prelu(h, alpha):
+        return jnp.where(h >= 0, h, alpha * h)
+
+    def block(h, layer):
+        y = _qconv(h, layer["conv1"], relu=False)
+        y = prelu(y, layer["alpha"])
+        y = _qconv(y, layer["conv2"], relu=False)
+        s = _qconv(h, layer["shortcut"], relu=False) \
+            if "shortcut" in layer else h
+        return jax.nn.relu(y + s)
+
+    def apply(qvars, x, train: bool = False):  # noqa: ARG001 (parity)
+        del train  # inference-only
+        h = x.astype(jnp.float32)
+        h = _qconv(h, qvars["stem"], relu=False)
+        h = prelu(h, qvars["stem_alpha"])
+        skips = []
+        for i in range(n):
+            h = block(h, qvars["encs"][i])
+            skips.append(h)
+            h = _maxpool2(h)
+        for i in range(3):
+            h = block(h, qvars["bottlenecks"][i])
+        for i in reversed(range(n)):
+            h = _qconv_t(h, qvars["ups"][i])
+            h = jnp.concatenate([h, skips[i]], axis=-1)
+            h = block(h, qvars["decs"][i])
+        return _qconv(h, qvars["final"], relu=False)
+
+    return apply
+
+
+def quantized_restorer(model, variables):
+    """(restorer_apply, qvars) for eval harnesses — dispatch by type."""
+    from tsr_tpu.models.unet import SimpleUNet
+
+    if isinstance(model, SimpleUNet):
+        return make_int8_unet_apply(model), quantize_simple_unet(
+            model, variables)
+    return make_int8_resunet_apply(model), quantize_resunet(
+        model, variables)
