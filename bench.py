@@ -78,6 +78,16 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2),
     }
+    if os.environ.get("TSR_BENCH_INT8", "1") != "0":
+        # serving-path extension: same fused graph with the int8-quantized
+        # restorer+judge (tsr_tpu/quant.py; full table in
+        # benchmarks/quant_bench.py). Never let it cost the headline
+        # number: a failure here degrades to omitting the key.
+        try:
+            out["int8_fused_img_s"] = round(_fused_eval_throughput(
+                size, int8=True), 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] int8 block failed: {e!r}", file=sys.stderr)
     if os.environ.get("TSR_BENCH_TRAIN", "1") != "0":
         # eval-path device buffers were dropped when _fused_eval_throughput
         # returned; the training block gets a near-empty HBM.
@@ -85,7 +95,7 @@ def main():
     print(json.dumps(out))
 
 
-def _fused_eval_throughput(size):
+def _fused_eval_throughput(size, int8=False):
     import jax
     import jax.numpy as jnp
 
@@ -103,6 +113,14 @@ def _fused_eval_throughput(size):
     rv = restorer.init(k, jnp.zeros((1, size, size, 3), jnp.float32),
                        train=False)
     jv = judge.init(k, jnp.zeros((1, size, size, 3), jnp.float32))
+    if int8:
+        from tsr_tpu import quant
+
+        rapply, rv = quant.quantized_restorer(restorer, rv)
+        japply, jv = quant.quantized_judge(judge, jv)
+    else:
+        rapply = lambda v, x: restorer.apply(v, x, train=False)  # noqa: E731
+        japply = lambda v, x: judge.apply(v, x)                  # noqa: E731
 
     @jax.jit
     def fused(rvars, jvars, images_u8):
@@ -110,10 +128,10 @@ def _fused_eval_throughput(size):
 
         def body(_, chunk):
             x01 = image_ops.to_float01(chunk)
-            out = restorer.apply(rvars, x01, train=False)
+            out = rapply(rvars, x01)
             out = jnp.clip(out, 0.0, 1.0)
             out = jnp.trunc(out * 255.0) / 255.0  # PNG round-trip parity
-            logits = judge.apply(jvars, image_ops.imagenet_normalize(out))
+            logits = japply(jvars, image_ops.imagenet_normalize(out))
             return None, jnp.argmax(logits, -1)
 
         _, preds = jax.lax.scan(body, None, images_u8)
