@@ -17,7 +17,7 @@ CKPT=$WORKDIR/ckpt
 # AdamW(3e-4)+warmup+clip for 60 epochs — the calibration-validated
 # recipe; the ref's 10-epoch SGD(1e-3) fine-tune assumes ImageNet init
 # (see RESULTS.md judge ablation). Training runs device-resident in bf16.
-EPOCHS_JUDGE=${EPOCHS_JUDGE:-60}
+EPOCHS_JUDGE=${EPOCHS_JUDGE:-24}
 LR_JUDGE=${LR_JUDGE:-3e-4}
 # Judge CE label smoothing. Keep 0: the calibration sweep (docs/
 # CALIBRATION.md r3) found even LS 0.05 collapses off-distribution

@@ -98,15 +98,30 @@ def ship(repo: Path, win: dict, dry_run: bool = False) -> list[str]:
 
 
 def main() -> None:
+    # The winner flags themselves start with "--" (e.g. --size 64), which
+    # argparse refuses to bind to a positional — so split them out by hand
+    # before argparse sees them, keeping only --repo/--dry-run for it.
+    import sys
+    own, flags = [], []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--repo":
+            own += argv[i:i + 2]; i += 2
+        elif argv[i] == "--dry-run":
+            own.append(argv[i]); i += 1
+        else:
+            flags.append(argv[i]); i += 1
+
     p = argparse.ArgumentParser()
     p.add_argument("--repo", type=Path,
                    default=Path(__file__).resolve().parent.parent)
     p.add_argument("--dry-run", action="store_true")
-    p.add_argument("flags", nargs="+",
-                   help="winner flags as printed by pick_winner.py")
-    args = p.parse_args()
+    args = p.parse_args(own)
+    if not flags:
+        raise SystemExit("ship_winner: no winner flags given")
 
-    win = parse_flags(args.flags)
+    win = parse_flags(flags)
     for line in ship(args.repo, win, dry_run=args.dry_run):
         print(("[dry-run] " if args.dry_run else "[shipped] ") + line)
 

@@ -3,7 +3,7 @@ the fully-fused on-device variant (no restored tree on disk needed)."""
 
 from _common import (PROCESSED, RESTORED, add_int8_flag, base_parser,
                      ensure_clean_tree, judge_ckpt_path, maybe_int8_judge,
-                     mesh_from_args, unified_ckpt_path)
+                     maybe_int8_restorer, mesh_from_args, unified_ckpt_path)
 
 from tsr_tpu import eval as tsr_eval
 from tsr_tpu import zoo

@@ -45,7 +45,7 @@ import numpy as np
 # demo_run.sh) uses these, so the calibration winner ships from ONE place.
 # GTSRB crops span ~25-110 px and distortions apply at native resolution,
 # so this pair is a calibration lever like the CALIB knobs below.
-TREE_SIZE = 72
+TREE_SIZE = 64
 TREE_JITTER = 0.45
 
 # ---------------------------------------------------------------------------
@@ -92,7 +92,7 @@ CALIB = {
     # reading keeps compound accuracy at 14-16% vs the reference's 5.8%.
     # size_small_frac routes that fraction of tree images to a uniform
     # draw over size_small_range native pixels (see write_image_tree).
-    "size_small_frac": 0.0,
+    "size_small_frac": 0.3,
     "size_small_range": (26.0, 40.0),
     # sign diameter as a fraction of the frame
     "diam_lo": 0.66,
