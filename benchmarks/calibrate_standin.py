@@ -280,8 +280,18 @@ def main():
               f"{mean[name] * 100:6.2f} ± {std[name] * 100:5.2f}   "
               f"target [{lo * 100:.0f},{hi * 100:.0f}]  ref "
               f"{REF[name] * 100:.2f}")
+    # Informational second verdict under the stand-in's re-derived compound
+    # band [0.10, 0.20] (docs/CALIBRATION.md "Round 4": the vector-rendered
+    # stand-in has a measured template-group floor ~16%, so the reference's
+    # photographic 5.78% band is structurally unreachable here). The exit
+    # code below stays on the reference's LITERAL bands.
+    rederived = dict(TARGETS, compound=(0.10, 0.20))
+    n_re = sum(lo <= mean[k] <= hi for k, (lo, hi) in rederived.items())
+    print(f"re-derived bands (compound [10,20], docs/CALIBRATION.md r4): "
+          f"{n_re}/{len(rederived)}")
     print(json.dumps({"mean": mean, "std": std, "runs": runs,
                       "bands_hit": n_ok, "bands_total": len(TARGETS),
+                      "bands_hit_rederived": n_re,
                       "calib": synthetic.CALIB}))
     missed = len(TARGETS) - n_ok
     sys.exit(0 if args.no_gate else missed)
