@@ -64,14 +64,16 @@ def main():
     ncls = len(gtsrb.ImageFolder(clean_root).classes)
     judge, jv = zoo.load_model("vgg16", judge_path, args.image_size,
                                num_classes=ncls)
-    unet, _ = zoo.build_simple_unet(size=args.image_size)
     rdir = Path(args.restorers) if args.restorers else Path("checkpoints")
-    restorer_vars = {}
+    # per-task modules: each checkpoint's config may rebuild a different
+    # architecture (e.g. input_minmax on the fog restorer)
+    restorer_apply, restorer_vars = {}, {}
     for task in ("noise", "fog", "blur"):
         cand = [rdir / f"restoration_{task}", rdir / task]
         path = next((c for c in cand if c.exists()), None)
         assert path is not None, f"no {task} restorer under {rdir}"
-        _, v = zoo.load_model("simple_unet", str(path), args.image_size)
+        m, v = zoo.load_model("simple_unet", str(path), args.image_size)
+        restorer_apply[task] = m.apply
         restorer_vars[task] = v
 
     files = sorted(f for f in clean_root.glob("*/*")
@@ -98,7 +100,7 @@ def main():
     clean224 = stages[0][1]
 
     out = pipeline.cascade_stress(
-        clean224, unet.apply, restorer_vars, judge.apply, jv,
+        clean224, restorer_apply, restorer_vars, judge.apply, jv,
         jax.random.PRNGKey(args.seed), precomputed_stages=stages)
 
     table = {}

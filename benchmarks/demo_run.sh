@@ -58,7 +58,7 @@ stage 06_eval python $REPO/scripts/06_test_baseline.py $ARGS
 stage 07_noise python $REPO/scripts/07_train_restoration.py $ARGS --bf16 \
   --task noise --epochs $EPOCHS_REST --identity-frac $ID_FRAC
 stage 07_fog python $REPO/scripts/07_train_restoration.py $ARGS --bf16 \
-  --task fog --epochs $EPOCHS_REST --identity-frac $ID_FRAC
+  --task fog --epochs $EPOCHS_REST --identity-frac $ID_FRAC --input-minmax
 stage 07_blur python $REPO/scripts/07_train_restoration_advanced.py $ARGS \
   --bf16 --task blur --epochs $EPOCHS_REST --identity-frac $ID_FRAC
 stage 08_restore python $REPO/scripts/08_run_inference.py $ARGS

@@ -44,10 +44,19 @@ def main():
                         "severity zero teaches the input-conditional "
                         "inverse; 0 reproduces the reference recipe "
                         "exactly. Device-resident loop only.")
+    p.add_argument("--input-minmax", action="store_true",
+                   help="per-image min-max stretch in front of the UNet "
+                        "(recorded in the checkpoint, applied by every "
+                        "load path). Fog is a global affine map the "
+                        "2-down UNet's receptive field cannot estimate; "
+                        "the stretch inverts it analytically "
+                        "(benchmarks/fog_ceiling.py: 43 dB vs the plain "
+                        "UNet's 17). Recommended for --task fog.")
     args = p.parse_args()
     cfg = configs.RestorationTrainConfig(
         task=args.task, batch_size=args.batch_size, epochs=args.epochs,
         learning_rate=args.lr, seed=args.seed)
+    ckpt_config = {"input_minmax": True} if args.input_minmax else None
 
     clean = ensure_clean_tree(args)
     distorted = args.distorted_dir or f"{PROCESSED}/{args.task.capitalize()}"
@@ -61,7 +70,7 @@ def main():
     import jax.numpy as jnp
     unet, variables = zoo.build_simple_unet(
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        size=args.image_size)
+        size=args.image_size, input_minmax=args.input_minmax)
     state = common.TrainState.create(
         unet.apply, variables, common.restoration_optimizer(cfg))
     if args.resume:
@@ -102,7 +111,7 @@ def main():
             state, bad, clean, tr_idx, va_idx, epochs=cfg.epochs,
             batch_size=cfg.batch_size, pixel="mse", perceptual_weight=0.0,
             save_path=save, checkpoint_every=cfg.checkpoint_every,
-            seed=cfg.seed)
+            ckpt_config=ckpt_config, seed=cfg.seed)
     else:
         step = common.make_restoration_train_step(pixel="mse")
         evalf = common.make_restoration_eval_step(pixel="mse")
@@ -114,7 +123,8 @@ def main():
             val_batches=lambda: mk(indices=va_idx, shuffle=False,
                                    drop_remainder=False),
             epochs=cfg.epochs, step_fn=step, eval_fn=evalf, save_path=save,
-            checkpoint_every=cfg.checkpoint_every, mesh=mesh)
+            checkpoint_every=cfg.checkpoint_every, ckpt_config=ckpt_config,
+            mesh=mesh)
     print(f"Done. Checkpoint at {save}")
 
 

@@ -40,6 +40,9 @@ def main():
                    help="fraction of extra clean->clean training pairs "
                         "(identity anchor; see scripts/07). 0 reproduces "
                         "the reference recipe exactly.")
+    p.add_argument("--input-minmax", action="store_true",
+                   help="per-image min-max stretch in front of the UNet "
+                        "(see scripts/07; recommended for --task fog)")
     args = p.parse_args()
     if args.judge is None:
         args.judge = judge_ckpt_path(args)
@@ -72,9 +75,10 @@ def main():
     import jax.numpy as jnp
     unet, variables = zoo.build_simple_unet(
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-        size=args.image_size)
+        size=args.image_size, input_minmax=args.input_minmax)
     state = common.TrainState.create(
         unet.apply, variables, common.advanced_optimizer(cfg))
+    ckpt_config = {"input_minmax": True} if args.input_minmax else None
 
     mesh = mesh_from_args(args)
     # resident size includes the identity anchor's duplicates (see 07)
@@ -103,7 +107,7 @@ def main():
             state, bad, clean_arr, tr_idx, va_idx, epochs=cfg.epochs,
             batch_size=cfg.batch_size, pixel="l1",
             perceptual_weight=cfg.perceptual_weight, vgg_apply=vgg_apply,
-            save_path=save, seed=cfg.seed)
+            save_path=save, ckpt_config=ckpt_config, seed=cfg.seed)
     else:
         step = common.make_restoration_train_step(
             pixel="l1", perceptual_weight=cfg.perceptual_weight,
@@ -119,7 +123,7 @@ def main():
             val_batches=lambda: mk(indices=va_idx, shuffle=False,
                                    drop_remainder=False),
             epochs=cfg.epochs, step_fn=step, eval_fn=evalf, save_path=save,
-            mesh=mesh)
+            ckpt_config=ckpt_config, mesh=mesh)
     print(f"Done. Checkpoint at {save}")
 
 

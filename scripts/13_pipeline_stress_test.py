@@ -30,11 +30,13 @@ def main():
     ncls = args.num_classes or len(gtsrb.ImageFolder(clean_root).classes)
     judge, jv = zoo.load_model("vgg16", args.model, args.image_size,
                                num_classes=ncls)
-    unet, _ = zoo.build_simple_unet(size=args.image_size)
-    restorer_vars = {}
+    # per-task modules: each checkpoint's config may change the
+    # architecture (e.g. the fog restorer's input_minmax stretch)
+    restorer_apply, restorer_vars = {}, {}
     for task in ("noise", "fog", "blur"):
-        _, v = zoo.load_model("simple_unet", restorer_ckpt_path(task, args),
+        m, v = zoo.load_model("simple_unet", restorer_ckpt_path(task, args),
                               args.image_size)
+        restorer_apply[task] = m.apply
         restorer_vars[task] = v
 
     files = sorted(f for f in clean_root.glob("*/*")
@@ -70,7 +72,7 @@ def main():
     batch = stages[0][1]
 
     out = pipeline.cascade_stress(
-        batch, unet.apply, restorer_vars, judge.apply, jv,
+        batch, restorer_apply, restorer_vars, judge.apply, jv,
         jax.random.PRNGKey(args.seed), precomputed_stages=stages)
 
     outdir = Path(args.out_dir)

@@ -113,3 +113,29 @@ def test_vgg_dropout_train_mode():
     a = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     b = m.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_simple_unet_input_minmax():
+    """input_minmax == per-image min-max stretch then the plain net: same
+    params, and the stretch makes the net invariant to global affine
+    input maps (the fog family, ref:04:28)."""
+    import jax
+
+    from tsr_tpu.models.unet import SimpleUNet
+
+    plain = SimpleUNet(widths=(4, 8))
+    normed = SimpleUNet(widths=(4, 8), input_minmax=True)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    v = plain.init(jax.random.PRNGKey(1), x)
+
+    ax = (1, 2, 3)
+    lo = x.min(axis=ax, keepdims=True)
+    hi = x.max(axis=ax, keepdims=True)
+    manual = plain.apply(v, (x - lo) / (hi - lo))
+    np.testing.assert_allclose(np.asarray(normed.apply(v, x)),
+                               np.asarray(manual), atol=1e-6)
+    # affine-invariance: a fogged input (t=0.3, A=0.9) maps to the same
+    # output as the clean input when both span the full stretch range
+    fogged = x * 0.3 + 0.9 * 0.7
+    np.testing.assert_allclose(np.asarray(normed.apply(v, fogged)),
+                               np.asarray(normed.apply(v, x)), atol=1e-4)

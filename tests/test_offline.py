@@ -158,3 +158,37 @@ def test_small_native_tail(tmp_path):
     finally:
         synthetic.CALIB.clear()
         synthetic.CALIB.update(old)
+
+
+def test_strength_jittered_kinds(clean_tree, tmp_path):
+    """noise_rand/blur_rand/fog_rand draw per-image strengths: every tree
+    generates, differs from clean, and shows strength *spread* across
+    images (the fixed kinds would give near-identical degradation)."""
+    for kind in ("noise_rand", "blur_rand", "fog_rand"):
+        dst = tmp_path / kind
+        n = offline.generate_tree(str(clean_tree), str(dst), kind, seed=3)
+        assert n == 6
+        ds = gtsrb.PairedFolder(str(clean_tree), str(dst), size=40)
+        assert len(ds) == 6
+        sev = []
+        for i in range(len(ds)):
+            bad, clean = ds.load(i)
+            assert not np.array_equal(bad, clean)
+            sev.append(np.abs(bad.astype(int) - clean.astype(int)).mean())
+        # per-image severity varies (range > 20% of the mean)
+        assert max(sev) - min(sev) > 0.2 * np.mean(sev), sev
+
+
+def test_fog_rand_spans_mild_point(clean_tree, tmp_path):
+    """The jittered fog range reaches near-clear images (t ~ 0.9, the
+    ref:13:51 mild point) — the fixed ref:04 tree never goes above
+    t=0.36, which is why severe-trained fog restorers over-correct mild
+    inputs (RESULTS.md cascade A/B)."""
+    dst = tmp_path / "FogRand"
+    offline.generate_tree(str(clean_tree), str(dst), "fog_rand", seed=11)
+    ds = gtsrb.PairedFolder(str(clean_tree), str(dst), size=40)
+    errs = [np.abs(ds.load(i)[0].astype(int) - ds.load(i)[1].astype(int)
+                   ).mean() for i in range(len(ds))]
+    # with intensity U[0.05,0.85] over 6 draws, at least one image should
+    # be mildly fogged (mean error well under half the severest draw)
+    assert min(errs) < 0.5 * max(errs), errs

@@ -189,3 +189,25 @@ def test_train_unified_on_device(tmp_path):
     import os
     assert os.path.exists(os.path.join(save, "model"))
     assert int(state.step) == 2 * 2  # 16 // 8 = 2 steps/epoch
+
+
+def test_simple_unet_input_minmax_config_roundtrip(tmp_path):
+    """A checkpoint saved with input_minmax=True rebuilds the stretch on
+    load — no caller plumbing (eval/infer/cascade all load through
+    zoo.load_model)."""
+    import jax
+
+    m, v = zoo.build_simple_unet(size=16, input_minmax=True)
+    state = common.TrainState.create(m.apply, v, optax.sgd(0.1))
+    base = str(tmp_path / "fog_minmax")
+    zoo.save_checkpoint(base, state, config={"input_minmax": True})
+
+    m2, v2 = zoo.load_model("simple_unet", base, 16)
+    assert m2.input_minmax is True
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3),
+                           minval=0.6, maxval=0.9)  # compressed-range input
+    got = np.asarray(m2.apply(v2, x))
+    plain = np.asarray(m.apply(v, (x - x.min(axis=(1, 2, 3), keepdims=True))
+                               / (x.max(axis=(1, 2, 3), keepdims=True)
+                                  - x.min(axis=(1, 2, 3), keepdims=True))))
+    np.testing.assert_allclose(got, plain, atol=1e-6)

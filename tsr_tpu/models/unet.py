@@ -44,15 +44,31 @@ class SimpleUNet(nn.Module):
         bottleneck at 2*widths[-1].
       out_channels: output image channels.
       dtype: compute dtype (params stay float32).
+      input_minmax: per-image min-max stretch of the input before the conv
+        stack. Fog (``I = J*t + A*(1-t)``, ref:04:28) is a *global* affine
+        map, but this 2-down U-Net's receptive field is a few dozen pixels
+        — it cannot estimate the per-image ``t`` from flat regions, which
+        caps the fog restorer at ~17 dB (RESULTS.md; the oracle affine
+        inverse reaches 43 dB, benchmarks/fog_ceiling.py). The stretch is
+        the one global statistic the conv stack lacks, and it is the
+        reference's own tool (cv2 NORM_MINMAX, applied to every blur-tree
+        image at ref:03:29) moved in front of the network. Recorded in the
+        checkpoint config, so every load path applies it automatically.
     """
     widths: Sequence[int] = (64, 128)
     out_channels: int = 3
     dtype: Any = jnp.float32
     precision: Any = None
+    input_minmax: bool = False
 
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
+        if self.input_minmax:
+            ax = tuple(range(1, x.ndim))
+            lo = jnp.min(x, axis=ax, keepdims=True)
+            hi = jnp.max(x, axis=ax, keepdims=True)
+            x = (x - lo) / jnp.maximum(hi - lo, 1e-6)
         x = x.astype(self.dtype)
         skips = []
         for i, w in enumerate(self.widths):

@@ -83,6 +83,50 @@ def _register_kinds():
         lambda x, k: distortions.apply_compound_distortion(x, k),
         True, ".png")
 
+    # Strength-jittered variants (--strength-jitter on scripts 02/03/04):
+    # same per-type distortion, but the strength is drawn per image so the
+    # trained restorer generalizes across severities. Ranges bracket the
+    # reference's own operating points — severe offline trees (noise
+    # var=0.02 ref:02:23, blur degree=12 ref:03:34, fog intensity=0.8
+    # ref:04:42) AND the mild cascade stress (0.01 / 5 / 0.1,
+    # ref:13:33-56) — because ref:13 runs the severe-trained restorers on
+    # mild inputs and ours over-correct there (RESULTS.md cascade A/B).
+    import jax.numpy as jnp
+
+    def _noise_rand(x, k):
+        kv, kn = jax.random.split(k)
+        var = jax.random.uniform(
+            kv, (x.shape[0], 1, 1, 1), jnp.float32, 0.005, 0.03)
+        return distortions.add_gaussian_noise(x, kn, var=var)
+
+    def _fog_rand(x, k):
+        # per-image intensity; t = 1 - i (the mild chain's form,
+        # ref:13:51), spanning t in [0.15, 0.95] before the default clip
+        intensity = jax.random.uniform(
+            k, (x.shape[0], 1, 1, 1), jnp.float32, 0.05, 0.85)
+        return distortions.add_fog(x, None, fog_intensity=intensity,
+                                   t_jitter=None)
+
+    def _blur_rand(x, k):
+        # no per-image min-max epilogue: the jittered tree trains cascade
+        # restorers whose deployment inputs (ref:13:40-47 mild blur) are
+        # not renormalized either, unlike the severe ref:03:29 tree
+        from tsr_tpu.ops import blur as blur_ops
+        from tsr_tpu.ops import image as image_ops
+        kd, ka = jax.random.split(k)
+        b = x.shape[0]
+        degrees = jax.random.randint(
+            kd, (b,), 4, distortions.MAX_BLUR_DEGREE + 1)
+        angles = jax.random.uniform(ka, (b,), jnp.float32, 0.0, 360.0)
+        kernels = blur_ops.motion_blur_kernels(
+            degrees, angles, max_degree=distortions.MAX_BLUR_DEGREE)
+        blurred = blur_ops.filter2d(jnp.asarray(x, jnp.float32), kernels)
+        return image_ops.saturate_uint8(blurred, round=True)
+
+    KINDS["noise_rand"] = (_noise_rand, True, None)
+    KINDS["fog_rand"] = (_fog_rand, True, None)
+    KINDS["blur_rand"] = (_blur_rand, True, None)
+
 
 _register_kinds()
 

@@ -55,9 +55,14 @@ def cascade_stress(
     """Run the 7-stage cascade on a uint8 batch.
 
     ``restorer_vars`` maps task name ('noise'/'fog'/'blur') to that
-    SimpleUNet's variables (ref:13:98-103). ``precomputed_stages`` (a list
-    of four (name, uint8 batch) tuples) lets the caller supply phase-1
-    distortions applied at native resolution, matching ref:13:147-169.
+    SimpleUNet's variables (ref:13:98-103). ``restorer_apply`` is one
+    shared apply fn, or a dict task -> apply fn — required when the
+    checkpoints differ architecturally (e.g. a fog restorer saved with
+    ``input_minmax``; zoo.load_model rebuilds each module from its
+    config, so pass each loaded module's own ``.apply``).
+    ``precomputed_stages`` (a list of four (name, uint8 batch) tuples)
+    lets the caller supply phase-1 distortions applied at native
+    resolution, matching ref:13:147-169.
 
     Returns dict with ``stages`` (list of (name, uint8 batch or float01
     batch)), per-stage ``pred``/``confidence`` arrays, and the three
@@ -82,12 +87,15 @@ def cascade_stress(
 
     # Phase 2: cascade restore Noise -> Fog -> Blur, chaining the raw
     # (unclamped) float tensor between models (ref:13:174-189)
+    applies = (restorer_apply if isinstance(restorer_apply, dict)
+               else {task: restorer_apply for task in RESTORATION_ORDER})
+
     @jax.jit
     def chain(variables_by_task, bad_u8):
         t = image_ops.to_float01(bad_u8)
         outs = []
         for task in RESTORATION_ORDER:
-            t = restorer_apply(variables_by_task[task], t)
+            t = applies[task](variables_by_task[task], t)
             outs.append(jnp.clip(t, 0.0, 1.0))  # viz copy (ref:13:184)
         return t, outs
 

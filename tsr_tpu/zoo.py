@@ -26,8 +26,9 @@ def _init(model, size: int, train: bool = False, needs_train_arg=True):
 
 
 def build_simple_unet(dtype: Any = jnp.float32,
-                      size: int = configs.IMAGE_SIZE):
-    m = SimpleUNet(dtype=dtype)
+                      size: int = configs.IMAGE_SIZE,
+                      input_minmax: bool = False):
+    m = SimpleUNet(dtype=dtype, input_minmax=input_minmax)
     return m, _init(m, size, needs_train_arg=False)
 
 
@@ -74,7 +75,9 @@ def load_model(kind: str, path: Optional[str], size: int,
         num_classes = meta.get("num_classes", num_classes)
         use_batchnorm = meta.get("use_batchnorm", use_batchnorm)
     if kind == "simple_unet":
-        m, v = build_simple_unet(dtype, size)
+        m, v = build_simple_unet(dtype, size,
+                                 input_minmax=meta.get("input_minmax",
+                                                       False))
         from_pth = ckpt.simple_unet_from_pth
     elif kind == "resunet":
         m, v = build_resunet(dtype, size)
