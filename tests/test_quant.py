@@ -121,3 +121,19 @@ def test_quantized_judge_drops_into_fused_eval():
                           == np.asarray(out_q["pred"])))
     assert agree >= 0.875, agree
     assert out_q["confidence"].shape == out_fp["confidence"].shape
+
+
+def test_int8_simple_unet_input_minmax_matches_fp32():
+    """The int8 forward mirrors SimpleUNet's input_minmax stretch — a
+    compressed-range (fogged) input must go through the same per-image
+    normalization in both paths."""
+    from tsr_tpu.models import SimpleUNet
+
+    unet = SimpleUNet(widths=(8, 16), input_minmax=True)
+    x = jnp.asarray(np.random.default_rng(5).uniform(
+        0.6, 0.9, (4, 32, 32, 3)).astype(np.float32))  # fog-like range
+    variables = unet.init(jax.random.PRNGKey(0), x[:1])
+    ref = unet.apply(variables, x)
+    apply_q, qvars = quant.quantized_restorer(unet, variables)
+    got = jax.jit(apply_q)(qvars, x)
+    assert _rel_err(ref, got) < 0.06, _rel_err(ref, got)

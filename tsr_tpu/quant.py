@@ -235,6 +235,11 @@ def make_int8_unet_apply(model):
 
     def apply(qvars, x):
         h = x.astype(jnp.float32)
+        if model.input_minmax:  # mirror SimpleUNet's per-image stretch
+            ax = tuple(range(1, h.ndim))
+            lo = jnp.min(h, axis=ax, keepdims=True)
+            hi = jnp.max(h, axis=ax, keepdims=True)
+            h = (h - lo) / jnp.maximum(hi - lo, 1e-6)
         skips = []
         for i in range(n):
             h = dc(h, qvars["encs"][i])
