@@ -37,17 +37,20 @@ def main():
     p.add_argument("--reps", type=int, default=2,
                    help="passes per batch size; best (warm-cache) pass "
                         "is reported")
+    p.add_argument("--resize", default="device",
+                   choices=["device", "host"],
+                   help="restore_tree resize mode (see tsr_tpu.infer)")
     p.add_argument("--workdir", default=None,
                    help="keep trees here instead of a tempdir")
     args = p.parse_args()
 
+    import cv2
     import jax
     import jax.numpy as jnp
 
     from tsr_tpu import infer
     from tsr_tpu.data import synthetic
     from tsr_tpu.models import SimpleUNet
-    from tsr_tpu.ops import distortions
     from tsr_tpu.utils import profiling
 
     profiling.enable_compilation_cache()
@@ -57,19 +60,30 @@ def main():
     clean = root / "clean"
     noisy = root / "noisy"
     classes = 8
+    per_class = (args.n + classes - 1) // classes
+    # Reuse guard (ADVICE r4): a --workdir from an interrupted run or a
+    # different --n would silently benchmark a stale/partial tree. Image
+    # counts are the ground truth (mirrors scripts/_common.ensure_clean_tree).
+    want = classes * per_class
+    if root.exists() and len(list(noisy.glob("*/*.png"))) != want:
+        import shutil
+
+        for d in (clean, noisy):
+            shutil.rmtree(d, ignore_errors=True)
     if not (noisy / "00000").exists():
         synthetic.write_image_tree(
-            str(clean), num_classes=classes,
-            per_class=(args.n + classes - 1) // classes,
+            str(clean), num_classes=classes, per_class=per_class,
             size=72, seed=0, size_jitter=0.45)
-        # noise tree at native resolution, like scripts/02 (ref:02:12-27)
+        # noise tree at native resolution, like scripts/02 (ref:02:12-27).
+        # numpy AWGN, not ops.distortions: throughput is independent of
+        # pixel values, and per-image jitted calls at jittered native
+        # shapes would each trigger a fresh relay-side XLA compile.
         rng = np.random.default_rng(1)
         for q in sorted(clean.glob("*/*.ppm")):
-            import cv2
-
             img = cv2.imread(str(q))[:, :, ::-1]
-            out = distortions.add_gaussian_noise(
-                jnp.asarray(img), jax.random.PRNGKey(int(rng.integers(1 << 31))))
+            x = img.astype(np.float32) / 255.0
+            x = np.clip(x + rng.normal(0, 0.02 ** 0.5, img.shape), 0, 1)
+            out = (x * 255.0).astype(np.uint8)
             dst = noisy / q.parent.name / (q.stem + ".png")
             dst.parent.mkdir(parents=True, exist_ok=True)
             cv2.imwrite(str(dst), np.asarray(out)[:, :, ::-1])
@@ -86,10 +100,11 @@ def main():
                 res = infer.restore_tree(
                     model.apply, variables, str(noisy), od,
                     clean_dir=str(clean), batch_size=bs, size=args.size,
-                    log=lambda s: None)
+                    resize=args.resize, log=lambda s: None)
             if best is None or res["images_per_sec"] > best["images_per_sec"]:
                 best = res
-        rows.append({"batch": bs, "img_s": best["images_per_sec"],
+        rows.append({"batch": bs, "resize": args.resize,
+                     "img_s": best["images_per_sec"],
                      "images": best["images"]})
         print(json.dumps(rows[-1]), flush=True)
 

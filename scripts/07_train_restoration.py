@@ -9,7 +9,7 @@ import functools
 
 from _common import (PROCESSED, base_parser, ensure_clean_tree,
                      mesh_from_args,
-                     restorer_ckpt_path)
+                     restorer_ckpt_path, restorer_provenance)
 
 from tsr_tpu import configs, zoo
 from tsr_tpu.data import gtsrb
@@ -56,10 +56,11 @@ def main():
     cfg = configs.RestorationTrainConfig(
         task=args.task, batch_size=args.batch_size, epochs=args.epochs,
         learning_rate=args.lr, seed=args.seed)
-    ckpt_config = {"input_minmax": True} if args.input_minmax else None
 
     clean = ensure_clean_tree(args)
     distorted = args.distorted_dir or f"{PROCESSED}/{args.task.capitalize()}"
+    ckpt_config = restorer_provenance(distorted, args.identity_frac,
+                                      args.input_minmax)
     save = args.save or restorer_ckpt_path(args.task, args)
 
     ds = gtsrb.PairedFolder(clean, distorted, size=args.image_size)

@@ -9,7 +9,8 @@ import functools
 
 from _common import (PROCESSED, base_parser, ensure_clean_tree,
                      mesh_from_args,
-                     judge_ckpt_path, restorer_ckpt_path)
+                     judge_ckpt_path, restorer_ckpt_path,
+                     restorer_provenance)
 
 from tsr_tpu import configs, zoo
 from tsr_tpu.data import gtsrb
@@ -78,7 +79,8 @@ def main():
         size=args.image_size, input_minmax=args.input_minmax)
     state = common.TrainState.create(
         unet.apply, variables, common.advanced_optimizer(cfg))
-    ckpt_config = {"input_minmax": True} if args.input_minmax else None
+    ckpt_config = restorer_provenance(distorted, args.identity_frac,
+                                      args.input_minmax)
 
     mesh = mesh_from_args(args)
     # resident size includes the identity anchor's duplicates (see 07)

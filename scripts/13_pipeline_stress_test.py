@@ -32,12 +32,14 @@ def main():
                                num_classes=ncls)
     # per-task modules: each checkpoint's config may change the
     # architecture (e.g. the fog restorer's input_minmax stretch)
-    restorer_apply, restorer_vars = {}, {}
+    restorer_apply, restorer_vars, task_cfgs = {}, {}, {}
     for task in ("noise", "fog", "blur"):
-        m, v = zoo.load_model("simple_unet", restorer_ckpt_path(task, args),
-                              args.image_size)
+        path = restorer_ckpt_path(task, args)
+        m, v = zoo.load_model("simple_unet", path, args.image_size)
         restorer_apply[task] = m.apply
         restorer_vars[task] = v
+        task_cfgs[task] = zoo.checkpoint_config(path)
+    variant, variant_desc = pipeline.cascade_variant(task_cfgs)
 
     files = sorted(f for f in clean_root.glob("*/*")
                    if f.suffix.lower() in gtsrb.IMG_EXTENSIONS)
@@ -82,8 +84,9 @@ def main():
         annot = [f"pred {int(out['preds'][k][i])} "
                  f"conf {float(out['confidences'][k][i]):.2f}"
                  for k in range(len(stages))]
-        viz.cascade_figure(stages, annot,
-                           str(outdir / f"pipeline_sample_{i + 1}.png"))
+        viz.cascade_figure(
+            stages, annot, str(outdir / f"pipeline_sample_{i + 1}.png"),
+            caption=f"cascade restorer variant {variant}: {variant_desc}")
 
     mc = out["mean_confidence"]
     print("=" * 40)
@@ -92,6 +95,11 @@ def main():
     print(f"Clean:     {mc['clean']:.4f}")
     print(f"Distorted: {mc['distorted']:.4f}")
     print(f"Restored:  {mc['restored']:.4f}")
+    print(f"Restorer variant: {variant} ({variant_desc})")
+    print("Measured net-confidence delta by variant "
+          "(RESULTS.md cascade section; ref:13 = +0.103): "
+          + ", ".join(f"{k} {d:+.3f}"
+                      for k, (_, d) in pipeline.VARIANT_TABLE.items()))
     print(f"Figures in {outdir}/")
 
 

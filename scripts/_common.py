@@ -148,6 +148,29 @@ def ensure_clean_tree(args) -> str:
     return args.clean_dir
 
 
+def restorer_provenance(distorted_dir: str, identity_frac: float,
+                        input_minmax: bool) -> dict:
+    """Checkpoint config for a specialized restorer: architecture options
+    plus training provenance (identity-anchor fraction and whether the
+    distorted tree was reference-exact or strength-jittered, read from the
+    tree's ``.distortion`` marker). pipeline/scripts/13 derive the cascade
+    variant label (RESULTS.md A/B/B'/C) from these keys."""
+    import json as _json
+
+    cfg: dict = {"identity_frac": float(identity_frac)}
+    if input_minmax:
+        cfg["input_minmax"] = True
+    marker = Path(distorted_dir) / ".distortion"
+    if marker.exists():
+        try:
+            kind = _json.loads(marker.read_text()).get("kind", "")
+            cfg["severity"] = ("jittered" if kind.endswith("_rand")
+                               else "reference")
+        except (ValueError, OSError):
+            pass
+    return cfg
+
+
 def judge_ckpt_path(args=None) -> str:
     d = getattr(args, "ckpt_dir", None) or os.environ.get(
         "TSR_CKPT_DIR", CKPT_DIR)

@@ -192,3 +192,40 @@ def test_fog_rand_spans_mild_point(clean_tree, tmp_path):
     # with intensity U[0.05,0.85] over 6 draws, at least one image should
     # be mildly fogged (mean error well under half the severest draw)
     assert min(errs) < 0.5 * max(errs), errs
+
+
+def test_distortion_marker_and_variant(clean_tree, tmp_path):
+    """generate_tree drops a .distortion provenance marker; the cascade
+    variant label (RESULTS.md A/B/B'/C) derives from restorer checkpoint
+    configs built from it (scripts/_common.restorer_provenance)."""
+    import json
+
+    from tsr_tpu import pipeline
+
+    dst = tmp_path / "Noise"
+    offline.generate_tree(str(clean_tree), str(dst), "noise_rand")
+    meta = json.loads((dst / ".distortion").read_text())
+    assert meta["kind"] == "noise_rand" and meta["images"] == 6
+
+    import sys
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    from _common import restorer_provenance
+
+    jit_cfg = restorer_provenance(str(dst), 0.25, False)
+    assert jit_cfg == {"identity_frac": 0.25, "severity": "jittered"}
+    # unmarked tree (real GTSRB / pre-r5): no severity key
+    assert "severity" not in restorer_provenance(str(clean_tree), 0.0, True)
+
+    severe = {"identity_frac": 0.25, "severity": "reference"}
+    minmax = dict(severe, input_minmax=True)
+    assert pipeline.cascade_variant(
+        {"noise": jit_cfg, "fog": minmax, "blur": jit_cfg})[0] == "C"
+    assert pipeline.cascade_variant(
+        {"noise": severe, "fog": minmax, "blur": severe})[0] == "B'"
+    assert pipeline.cascade_variant(
+        {"noise": severe, "fog": severe, "blur": severe})[0] == "B"
+    assert pipeline.cascade_variant(
+        {t: {"identity_frac": 0.0} for t in ("noise", "fog", "blur")}
+    )[0] == "A"
+    assert pipeline.cascade_variant({t: {} for t in ("noise", "fog",
+                                                     "blur")})[0] == "?"

@@ -198,5 +198,15 @@ def generate_tree(
                     crop = post(crop)
                 cv2.imwrite(str(outp), crop[:, :, ::-1])
                 written += 1
+    # Provenance marker: training scripts read it to record whether a
+    # restorer saw reference-exact severities (ref:02/03/04 fixed
+    # strengths) or the jittered "*_rand" variants, so demo reports can
+    # state which cascade variant (RESULTS.md A/B/B'/C) their restorers
+    # represent instead of leaving it implicit.
+    import json
+
+    dst.mkdir(parents=True, exist_ok=True)
+    (dst / ".distortion").write_text(
+        json.dumps({"kind": kind, "seed": seed, "images": written}))
     log(f"Done: {written} images -> {dst}")
     return written

@@ -94,6 +94,62 @@ def resize_bilinear(images, size: int):
     return out
 
 
+def _bilinear_matrix(native, padded: int, out: int):
+    """Dense per-axis bilinear weight matrix ``[out, padded]`` for a TRACED
+    native extent (half-pixel centers, edge clamp, no antialias — the
+    cv2.INTER_LINEAR convention). Each output row holds the two taps
+    ``(1-w, w)`` at columns ``floor(src)`` / ``floor(src)+1``; built as two
+    one-hot compares so resize becomes a dense matmul on the MXU instead of
+    per-pixel gathers. At the clamped edge (``i0 == i1``) both compares hit
+    the same column and the weights sum to 1."""
+    n = native.astype(jnp.float32)
+    src = (jnp.arange(out, dtype=jnp.float32) + 0.5) * (n / out) - 0.5
+    src = jnp.clip(src, 0.0, n - 1.0)
+    i0f = jnp.floor(src)
+    w = src - i0f
+    i0 = i0f.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, native.astype(jnp.int32) - 1)
+    cols = jnp.arange(padded, dtype=jnp.int32)
+    return ((cols[None, :] == i0[:, None]) * (1.0 - w)[:, None]
+            + (cols[None, :] == i1[:, None]) * w[:, None])
+
+
+def resize_from_padded(padded_u8, sizes_hw, out_size: int):
+    """Per-image bilinear resize with traced native sizes, as matmuls.
+
+    Args:
+      padded_u8: ``[B, Hp, Wp, C]`` uint8 — native-resolution images padded
+        (content beyond each image's native extent is never sampled: the
+        half-pixel source coordinates stay within ``[0, native-1]``).
+      sizes_hw: ``[B, 2]`` int32 native (height, width) per image.
+      out_size: static output side.
+    Returns:
+      ``[B, out, out, C]`` uint8, quantized like cv2.resize's uint8 output.
+
+    This is the device half of the native-upload inference path
+    (tsr_tpu.infer): the host ships ~native-size bytes over the (slow,
+    ~40 MB/s) relay link and the TPU does the resize as two dense
+    ``[out, P] @ [P, P'] `` contractions per image — MXU work instead of
+    host cv2 + 5x the link traffic. Convention matches cv2.INTER_LINEAR
+    (half-pixel, edge clamp, no antialias); cv2's fixed-point coefficient
+    quantization makes its uint8 output differ by <=1 LSB on ~12% of
+    pixels (measured: tests/test_infer.py), same order as the documented
+    cv2-vs-PIL backend delta (PARITY.md "Resize parity").
+    """
+    _, hp, wp, _ = padded_u8.shape
+
+    def one(img, hw):
+        wy = _bilinear_matrix(hw[0], hp, out_size)  # [out, Hp]
+        wx = _bilinear_matrix(hw[1], wp, out_size)  # [out, Wp]
+        x = img.astype(jnp.float32)
+        t = jnp.tensordot(wy, x, axes=[[1], [0]])   # [out, Wp, C]
+        return jnp.einsum("xw,owc->oxc", wx, t,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    out = jax.vmap(one)(padded_u8, sizes_hw)
+    return jnp.clip(jnp.rint(out), 0.0, 255.0).astype(jnp.uint8)
+
+
 def imagenet_normalize(x01):
     """ImageNet mean/std normalization used by every judge path
     (ref:05:27-29)."""

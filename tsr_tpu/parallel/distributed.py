@@ -27,8 +27,12 @@ def initialize(coordinator: Optional[str] = None,
     ``jax.distributed.initialize()`` autodetects everything.
     """
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    n = num_processes or _int_env("JAX_NUM_PROCESSES")
-    pid = process_id or _int_env("JAX_PROCESS_ID")
+    # `is None` (not `or`): process_id 0 — the coordinator process itself —
+    # is falsy, and `or` would erase it (caught by tests/test_distributed)
+    n = (num_processes if num_processes is not None
+         else _int_env("JAX_NUM_PROCESSES"))
+    pid = (process_id if process_id is not None
+           else _int_env("JAX_PROCESS_ID"))
     if coordinator is None and n is None:
         try:
             jax.distributed.initialize()  # autodetected (TPU pod) or no-op

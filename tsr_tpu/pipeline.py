@@ -29,6 +29,43 @@ RESTORATION_ORDER = ("noise", "fog", "blur")
 # Distortion order for the cascade (ref:13:153-169)
 DISTORTION_ORDER = ("blur", "fog", "noise")
 
+# Measured net restored-confidence delta per cascade restorer variant
+# (RESULTS.md cascade section; readings benchmarks/readings/r4/). The
+# reference's own regime is +0.103 (0.749 -> 0.852, ref:13:226-238).
+VARIANT_TABLE = {
+    "A": ("reference-exact severe trees, no identity anchor", -0.248),
+    "B": ("severe trees + identity anchor", -0.082),
+    "B'": ("B + min-max fog restorer", -0.016),
+    "C": ("severity-jittered trees + identity anchor + min-max fog",
+          +0.187),
+}
+
+
+def cascade_variant(task_configs: Dict[str, dict]) -> Tuple[str, str]:
+    """Derive which measured cascade variant (RESULTS.md A/B/B'/C) a set
+    of restorer checkpoints represents from their recorded provenance
+    (``config.json``: identity_frac / input_minmax / severity — written by
+    scripts/07 since round 5).
+
+    Returns ``(code, description)``; code is '?' when the checkpoints
+    predate provenance recording.
+    """
+    cfgs = [task_configs.get(t) or {} for t in RESTORATION_ORDER]
+    if not any(c for c in cfgs):
+        return "?", "no provenance recorded (pre-r5 checkpoints)"
+    jittered = any(c.get("severity") == "jittered" for c in cfgs)
+    anchored = any(c.get("identity_frac", 0) > 0 for c in cfgs)
+    minmax_fog = bool((task_configs.get("fog") or {}).get("input_minmax"))
+    if jittered:
+        code = "C"
+    elif minmax_fog and anchored:
+        code = "B'"
+    elif anchored:
+        code = "B"
+    else:
+        code = "A"
+    return code, VARIANT_TABLE[code][0]
+
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _judge_confidence(judge_apply, judge_vars, x01):

@@ -74,8 +74,12 @@ def hidden_state_grid(rows: List[Dict[str, np.ndarray]], path: str,
 
 
 def cascade_figure(stage_images: Sequence[Tuple[str, np.ndarray]],
-                   annotations: Sequence[str], path: str):
-    """2x4 grid of the 7 cascade stages + blank (ref:13:208-218)."""
+                   annotations: Sequence[str], path: str,
+                   caption: str = None):
+    """2x4 grid of the 7 cascade stages + blank (ref:13:208-218).
+    ``caption`` (e.g. the restorer variant, RESULTS.md cascade table)
+    renders as the figure suptitle so saved artifacts state which measured
+    configuration produced them."""
     fig, axes = plt.subplots(2, 4, figsize=(18, 9))
     for k, ax in enumerate(axes.flat):
         if k < len(stage_images):
@@ -84,6 +88,8 @@ def cascade_figure(stage_images: Sequence[Tuple[str, np.ndarray]],
                       else np.clip(img, 0, 1))
             ax.set_title(f"{name}\n{annotations[k]}", fontsize=10)
         ax.axis("off")
+    if caption:
+        fig.suptitle(caption, fontsize=11)
     plt.tight_layout()
     plt.savefig(path)
     plt.close()

@@ -129,6 +129,12 @@ def save_checkpoint(base_path: str, state, config: Optional[dict] = None
             json.dump(config, f, indent=1)
 
 
+def checkpoint_config(base_path: str) -> dict:
+    """Public reader for a checkpoint's ``config.json`` metadata
+    (architecture options + training provenance); {} if absent."""
+    return _load_config(base_path)
+
+
 def _load_config(base_path: str) -> dict:
     import json
 
