@@ -10,7 +10,16 @@ from tsr_tpu import infer, zoo
 def main():
     p = base_parser(__doc__)
     p.add_argument("--tasks", nargs="+", default=["noise", "blur", "fog"])
+    # Measured defaults (benchmarks/readings/r5/restore_ab_*.jsonl): the
+    # tree walk is relay-bandwidth-bound, so SMALL batches win (finer
+    # overlap) and the device-resize path (native-resolution upload) is
+    # the big lever — see tsr_tpu/infer.py module docstring.
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--resize", default="device",
+                   choices=["device", "host"],
+                   help="resize natives on device (measured fastest; "
+                        "<=1 LSB vs cv2) or on host (exact reference "
+                        "semantics)")
     args = p.parse_args()
     clean = ensure_clean_tree(args)
 
@@ -28,7 +37,7 @@ def main():
             distorted_dir=f"{PROCESSED}/{task.capitalize()}",
             restored_dir=f"{RESTORED}/{task.capitalize()}",
             clean_dir=clean, batch_size=args.batch_size,
-            size=args.image_size)
+            size=args.image_size, resize=args.resize)
 
 
 if __name__ == "__main__":

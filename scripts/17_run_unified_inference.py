@@ -12,6 +12,9 @@ def main():
     p.add_argument("--distorted-dir", default=f"{PROCESSED}/Compound")
     p.add_argument("--restored-dir", default=f"{RESTORED}/Compound")
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--resize", default="device",
+                   choices=["device", "host"],
+                   help="see scripts/08 — device is the measured default")
     p.add_argument("--metrics", action="store_true",
                    help="also compute PSNR/SSIM vs the clean tree "
                         "(ref:17 computes none)")
@@ -24,7 +27,8 @@ def main():
         resunet.apply, variables,
         distorted_dir=args.distorted_dir, restored_dir=args.restored_dir,
         clean_dir=clean, batch_size=args.batch_size, size=args.image_size,
-        has_batch_stats=True, compute_metrics=args.metrics)
+        has_batch_stats=True, compute_metrics=args.metrics,
+        resize=args.resize)
 
 
 if __name__ == "__main__":

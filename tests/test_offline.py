@@ -229,3 +229,22 @@ def test_distortion_marker_and_variant(clean_tree, tmp_path):
     )[0] == "A"
     assert pipeline.cascade_variant({t: {} for t in ("noise", "fog",
                                                      "blur")})[0] == "?"
+
+
+def test_photo_degrade_knob():
+    """CALIB['photo_degrade']=0 is a strict no-op; >0 perturbs the render
+    (r5 compound-band A/B lever, docs/CALIBRATION.md)."""
+    from tsr_tpu.data import synthetic
+
+    a = synthetic.make_sign(5, 40, np.random.default_rng(3))
+    old = synthetic.CALIB["photo_degrade"]
+    try:
+        synthetic.CALIB["photo_degrade"] = 0.0
+        b = synthetic.make_sign(5, 40, np.random.default_rng(3))
+        np.testing.assert_array_equal(a, b)
+        synthetic.CALIB["photo_degrade"] = 1.0
+        c = synthetic.make_sign(5, 40, np.random.default_rng(3))
+    finally:
+        synthetic.CALIB["photo_degrade"] = old
+    d = np.abs(a.astype(int) - c.astype(int)).mean()
+    assert d > 2.0, d

@@ -100,6 +100,17 @@ CALIB = {
     # glyph box scale: <1 shrinks the digit glyph (thinner strokes =>
     # additive noise bites harder while template/shape cues stay)
     "glyph_scale": 0.9,
+    # photographic-degradation strength (0 = off, shipped): surface
+    # texture + isotropic optical softening applied at native resolution
+    # before the photometric pipeline. Purpose (docs/CALIBRATION.md r4
+    # decision 2 -> r5 A/B): the stand-in's compound floor of ~16% is
+    # carried by vector-crisp silhouettes — the 4 unique-shape classes
+    # survive the blur-10 chain at 42% because a rendered octagon at
+    # 26-40 px is still an octagon, while GTSRB's *photographic* crops
+    # lose the template itself. This knob breaks silhouette identity the
+    # way photography does (print texture, focus softness) so the causal
+    # claim becomes a measured sweep instead of an argument.
+    "photo_degrade": 0.0,
     # anti-correlation between native size and illumination gain (0 = off).
     # GTSRB's large crops skew to close-up dusk/shade captures; here the
     # knob decouples the blur and compound difficulty bands: a large dark
@@ -299,6 +310,22 @@ def make_sign(class_id: int, size: int = 48,
 
     # --- downscale (box filter over SS x SS) ---------------------------
     small = img.reshape(size, SS, size, SS, 3).mean((1, 3))
+
+    # photographic degradation (CALIB["photo_degrade"], r5 compound A/B):
+    # multiplicative coarse surface texture (print/paint irregularity
+    # breaking the flat vector fills) + repeated 4-neighbor optical
+    # softening (focus/demosaic loss eroding silhouette edges at native
+    # resolution). Both scale with the knob; 0 is a strict no-op.
+    pd = C.get("photo_degrade", 0.0)
+    if pd > 0:
+        tex = _coarse_noise(rng, size, int(rng.integers(5, 10)),
+                            -1.0, 1.0)
+        small = np.clip(small * (1.0 + 0.15 * pd * tex), 0.0, 1.0)
+        k = pd * rng.uniform(0.6, 1.0)
+        for _ in range(2):
+            n4 = (np.roll(small, 1, 0) + np.roll(small, -1, 0)
+                  + np.roll(small, 1, 1) + np.roll(small, -1, 1)) / 4.0
+            small = small * (1 - k / 2) + n4 * (k / 2)
 
     # optional capture blur (GTSRB has plenty of soft captures): average
     # with a shifted copy along a random axis, strength up to a full pixel
