@@ -1,6 +1,6 @@
 """Judge accuracy over {clean, noisy, blurred, foggy} trees (ref:06)."""
 
-from _common import (PROCESSED, add_int8_flag, base_parser,
+from _common import (PROCESSED, add_int8_flag, add_resize_flag, base_parser,
                      ensure_clean_tree, judge_ckpt_path, maybe_int8_judge,
                      mesh_from_args)
 
@@ -16,6 +16,7 @@ def main():
     p.add_argument("--num-classes", type=int, default=None)
     p.add_argument("--batchnorm", action="store_true")
     add_int8_flag(p)
+    add_resize_flag(p)
     args = p.parse_args()
     args.model = args.model or judge_ckpt_path(args)
     clean = ensure_clean_tree(args)
@@ -42,7 +43,7 @@ def main():
             continue
         r = tsr_eval.evaluate_directory(
             japply, jv, path, batch_size=args.batch_size,
-            size=args.image_size, mesh=mesh)
+            size=args.image_size, mesh=mesh, resize=args.resize)
         results[name] = r["top1"]
         print(f"Result [{name}] Accuracy: {r['top1'] * 100:.2f}% "
               f"({r['images_per_sec']} img/s)")

@@ -4,7 +4,8 @@ Restored row restores the Distorted tree inside the eval graph with the
 specialized SimpleUNet checkpoint — no ``data/restored`` disk round-trip
 (the reference re-reads restored PNGs, ref:09:15-26)."""
 
-from _common import (PROCESSED, RESTORED, add_int8_flag, base_parser,
+from _common import (PROCESSED, RESTORED, add_int8_flag,
+                     add_resize_flag, base_parser,
                      ensure_clean_tree, judge_ckpt_path, maybe_int8_judge,
                      maybe_int8_restorer, mesh_from_args,
                      restorer_ckpt_path)
@@ -24,6 +25,7 @@ def main():
                         "the specialized checkpoints instead of reading "
                         "data/restored from disk")
     add_int8_flag(p)
+    add_resize_flag(p)
     args = p.parse_args()
     args.model = args.model or judge_ckpt_path(args)
     clean = ensure_clean_tree(args)
@@ -43,7 +45,8 @@ def main():
             return
         r = tsr_eval.evaluate_directory(
             japply, jv, path, batch_size=args.batch_size,
-            size=args.image_size, mesh=mesh, **kw)
+            size=args.image_size, mesh=mesh, resize=args.resize,
+            **kw)
         results[name] = r["top1"]
         print(f"Result [{name}] Accuracy: {r['top1'] * 100:.2f}% "
               f"({r['images_per_sec']} img/s)")

@@ -1,7 +1,8 @@
 """Judge accuracy over {clean, compound, unified-restored} (ref:18), plus
 the fully-fused on-device variant (no restored tree on disk needed)."""
 
-from _common import (PROCESSED, RESTORED, add_int8_flag, base_parser,
+from _common import (PROCESSED, RESTORED, add_int8_flag,
+                     add_resize_flag, base_parser,
                      ensure_clean_tree, judge_ckpt_path, maybe_int8_judge,
                      maybe_int8_restorer, mesh_from_args, unified_ckpt_path)
 
@@ -20,6 +21,7 @@ def main():
                    help="restore on the fly inside the eval graph instead "
                         "of reading data/restored from disk")
     add_int8_flag(p)
+    add_resize_flag(p)
     args = p.parse_args()
     args.model = args.model or judge_ckpt_path(args)
     args.unified = args.unified or unified_ckpt_path(args)
@@ -42,7 +44,7 @@ def main():
             continue
         r = tsr_eval.evaluate_directory(
             japply, jv, path, batch_size=args.batch_size,
-            size=args.image_size)
+            size=args.image_size, resize=args.resize)
         results[name] = r["top1"]
         print(f"Result [{name}] Accuracy: {r['top1'] * 100:.2f}% "
               f"({r['images_per_sec']} img/s)")
@@ -54,14 +56,15 @@ def main():
         r = tsr_eval.evaluate_directory(
             japply, jv, f"{PROCESSED}/Compound",
             batch_size=args.batch_size, size=args.image_size, mesh=mesh,
-            restorer_apply=rapply, restorer_vars=rv)
+            restorer_apply=rapply, restorer_vars=rv, resize=args.resize)
         results["Unified Restored (fused)"] = r["top1"]
         print(f"Result [Unified Restored (fused)] Accuracy: "
               f"{r['top1'] * 100:.2f}%")
     elif os.path.exists(f"{RESTORED}/Compound"):
         r = tsr_eval.evaluate_directory(
             japply, jv, f"{RESTORED}/Compound",
-            batch_size=args.batch_size, size=args.image_size, mesh=mesh)
+            batch_size=args.batch_size, size=args.image_size,
+            mesh=mesh, resize=args.resize)
         results["Unified Restored"] = r["top1"]
         print(f"Result [Unified Restored] Accuracy: {r['top1'] * 100:.2f}%")
 

@@ -61,6 +61,16 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     return p
 
 
+def add_resize_flag(p):
+    """--resize for the eval harnesses (scripts 06/09/18). Default host =
+    the reference's exact input semantics (the accuracy-parity mode);
+    'device' uploads native-resolution pixels and resizes on device
+    (<=1 LSB vs cv2, PARITY.md) — the serving-throughput mode on a
+    bandwidth-limited host<->device link."""
+    p.add_argument("--resize", default="host", choices=["host", "device"])
+    return p
+
+
 def add_int8_flag(p):
     """--int8 for the accuracy/serving harnesses (scripts 06/09/18)."""
     p.add_argument("--int8", action="store_true",

@@ -78,3 +78,36 @@ def test_reports():
     m = reporting.metric_report(
         {"Noise": {"psnr": 25.1, "ssim": 0.89}}, "Quality")
     assert "25.1" in m
+
+
+def test_evaluate_directory_device_resize(tmp_path):
+    """resize='device' (native upload + on-device resize) matches the host
+    harness: same n, same top-1 under a smooth judge (1-LSB input deltas
+    cannot flip a well-separated argmax)."""
+    import jax
+
+    from tsr_tpu import eval as tsr_eval
+    from tsr_tpu.data import synthetic
+
+    root = tmp_path / "tree"
+    synthetic.write_image_tree(str(root), num_classes=3, per_class=6,
+                               size=20, seed=2, size_jitter=0.3)
+
+    # smooth deterministic "judge": fixed projection of channel means
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (3, 3))
+
+    def judge_apply(vars_, x01, train=False):
+        feats = jnp.mean(x01, axis=(1, 2))  # [B,3]
+        return feats @ vars_["w"]
+
+    jv = {"w": w}
+    host = tsr_eval.evaluate_directory(judge_apply, jv, str(root),
+                                       batch_size=4, size=32,
+                                       resize="host")
+    dev = tsr_eval.evaluate_directory(judge_apply, jv, str(root),
+                                      batch_size=4, size=32,
+                                      resize="device")
+    assert host["n"] == dev["n"] == 18
+    assert host["top1"] == dev["top1"]
+    assert abs(host["confidence"] - dev["confidence"]) < 1e-3

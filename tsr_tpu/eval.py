@@ -44,6 +44,7 @@ def make_fused_eval_step(
     judge_apply: Callable,
     quantize: bool = True,
     with_metrics: bool = False,
+    native_size: Optional[int] = None,
 ):
     """Build the fused (restore→)classify step.
 
@@ -51,11 +52,21 @@ def make_fused_eval_step(
     → dict with ``correct`` (scalar), ``pred`` [B], and optionally ``psnr`` /
     ``ssim`` [B] vs ``clean_u8``. Pass ``restorer_apply=None`` for
     classify-only evaluation (ref:06).
+
+    With ``native_size=S`` (the device-resize serving path), ``images_u8``
+    is a tuple ``(padded_u8 [B,Hp,Wp,3], sizes_hw [B,2])`` of
+    native-resolution pixels and the resize to ``S`` runs on device
+    (ops.image.resize_from_padded) — only native bytes cross the
+    host→device link.
     """
 
     @jax.jit
     def step(restorer_vars, judge_vars, images_u8, labels,
              clean_u8=None):
+        if native_size is not None:
+            padded, sizes = images_u8
+            images_u8 = image_ops.resize_from_padded(padded, sizes,
+                                                     native_size)
         x01 = image_ops.to_float01(images_u8)
         out = {}
         if restorer_apply is not None:
@@ -139,6 +150,7 @@ def evaluate_directory(
     restorer_vars=None,
     quantize: bool = True,
     mesh=None,
+    resize: str = "host",
 ) -> Dict[str, float]:
     """Directory top-1 evaluation (ref:06:23-59): ImageFolder over
     ``data_dir``, optional fused restoration before the judge.
@@ -149,10 +161,22 @@ def evaluate_directory(
 
     Batches are placed on device inside the prefetch producer thread, so
     the host->device upload of batch k+1 overlaps the judge forward of
-    batch k (the upload link, not the chip, bounds this harness)."""
+    batch k (the upload link, not the chip, bounds this harness). On a
+    remote-TPU relay that link IS the harness floor (~40 MB/s up →
+    ~220 img/s at 224²); ``resize="device"`` lifts it by uploading
+    native-resolution pixels and resizing on device
+    (ops.image.resize_from_padded, ≤1 LSB vs cv2 — PARITY.md). The default
+    stays "host": the accuracy-parity claims are made against the
+    reference's host-resize semantics. Device resize requires the cv2
+    backend and no mesh."""
     from tsr_tpu.data import gtsrb
 
     ds = gtsrb.ImageFolder(data_dir, size=size)
+    if (resize == "device" and mesh is None
+            and gtsrb.RESIZE_BACKEND == "cv2"):
+        return _evaluate_directory_native(
+            ds, judge_apply, judge_vars, batch_size, size,
+            restorer_apply, restorer_vars, quantize)
     step = make_fused_eval_step(restorer_apply, judge_apply,
                                 quantize=quantize)
     if mesh is not None:
@@ -168,3 +192,28 @@ def evaluate_directory(
     it = gtsrb.batches(ds, batch_size=batch_size, shuffle=False,
                        drop_remainder=False, epochs=1, transform=placer)
     return evaluate_batches(step, restorer_vars, judge_vars, it)
+
+
+def _evaluate_directory_native(ds, judge_apply, judge_vars, batch_size,
+                               size, restorer_apply, restorer_vars,
+                               quantize):
+    """Device-resize variant of the directory harness: the bucketing
+    producer (infer.native_batches) uploads native-resolution pixels and
+    the fused step resizes on device. pad_batch=False: labels must count
+    real rows only, so bucket-tail batches take one extra (cached)
+    compile each instead of masking."""
+    from tsr_tpu import infer
+
+    labels_all = np.asarray([lab for _, lab in ds.samples], np.int32)
+    paths = [p for p, _ in ds.samples]
+    step = make_fused_eval_step(restorer_apply, judge_apply,
+                                quantize=quantize, native_size=size)
+
+    def gen():
+        it = infer.native_batches(paths, size, batch_size,
+                                  pad_batch=False)
+        for padded, sizes, _, idxs in it:
+            yield ((padded, sizes),
+                   jax.device_put(labels_all[np.asarray(idxs)]))
+
+    return evaluate_batches(step, restorer_vars, judge_vars, gen())

@@ -138,19 +138,24 @@ def make_native_restore_step(restorer_apply: Callable,
 _NATIVE_BUCKETS = (64, 128, 192)
 
 
-def _native_batches(items, out_size: int, batch_size: int,
-                    with_metrics: bool, decode_workers: int = 8,
-                    prefetch: int = 3):
-    """Producer generator for the device-resize path.
+def native_batches(paths: List[str], out_size: int, batch_size: int,
+                   aux_fn: Optional[Callable] = None,
+                   pad_batch: bool = True,
+                   decode_workers: int = 8,
+                   prefetch: int = 3):
+    """Producer generator for the device-resize paths (restore_tree and
+    evaluate_directory).
 
-    Decodes each distorted image at NATIVE resolution (and its clean twin
-    at ``out_size`` for host metrics), groups by padded bucket, and yields
-    ``(padded_dev, sizes_dev, clean_host, mask, item_indices)`` with the
-    batch dim zero-padded to ``batch_size`` (one compile per bucket, not
-    per remainder). Images with max dim >= out_size are host-resized and
-    ride the out_size bucket, where the device resize is an exact
-    identity. Runs in a background thread; decode uses a cv2 thread pool
-    (cv2 releases the GIL)."""
+    Decodes each image at NATIVE resolution, groups by padded bucket, and
+    yields ``(padded_dev, sizes_dev, aux_list, item_indices)``. ``aux_fn(i)``
+    (run inside the decode pool) supplies a per-item host payload — the
+    resized clean twin for restore metrics, the label for eval — returned
+    as a list aligned with ``item_indices``. With ``pad_batch`` the batch
+    dim is zero-padded to ``batch_size`` (one compile per bucket, not per
+    remainder; filler rows resize a 1x1 black pixel). Images with max dim
+    >= out_size are host-resized and ride the out_size bucket, where the
+    device resize is an exact identity. Runs in a background thread;
+    decode uses a cv2 thread pool (cv2 releases the GIL)."""
     import queue
     import threading
 
@@ -159,18 +164,16 @@ def _native_batches(items, out_size: int, batch_size: int,
     def decode(i):
         import cv2
 
-        dpath, cpath = items[i]
-        img = cv2.imread(dpath)
+        img = cv2.imread(paths[i])
         if img is None:
             from PIL import Image
 
-            img = np.asarray(Image.open(dpath).convert("RGB"))[:, :, ::-1]
+            img = np.asarray(Image.open(paths[i]).convert("RGB")
+                             )[:, :, ::-1]
         img = np.ascontiguousarray(img[:, :, ::-1])
         if max(img.shape[:2]) >= out_size:
-            img = gtsrb._decode_resize(dpath, out_size)
-        clean = (gtsrb._decode_resize(cpath, out_size)
-                 if (with_metrics and cpath) else None)
-        return i, img, clean
+            img = gtsrb._decode_resize(paths[i], out_size)
+        return i, img, (aux_fn(i) if aux_fn is not None else None)
 
     def bucket_of(img):
         m = max(img.shape[:2])
@@ -181,23 +184,17 @@ def _native_batches(items, out_size: int, batch_size: int,
 
     def emit(bucket, entries):
         k = len(entries)
-        padded = np.zeros((batch_size, bucket, bucket, 3), np.uint8)
-        # batch-dim filler rows resize a 1x1 black pixel (harmless, cheap)
-        sizes = np.ones((batch_size, 2), np.int32)
-        clean = (np.zeros((k, out_size, out_size, 3), np.uint8)
-                 if with_metrics else None)
-        mask = np.zeros(k, bool)
-        idxs = []
-        for j, (i, img, cl) in enumerate(entries):
+        rows = batch_size if pad_batch else k
+        padded = np.zeros((rows, bucket, bucket, 3), np.uint8)
+        sizes = np.ones((rows, 2), np.int32)
+        aux, idxs = [], []
+        for j, (i, img, a) in enumerate(entries):
             h, w = img.shape[:2]
             padded[j, :h, :w] = img
             sizes[j] = (h, w)
-            if cl is not None:
-                clean[j] = cl
-                mask[j] = True
+            aux.append(a)
             idxs.append(i)
-        return (jax.device_put(padded), jax.device_put(sizes),
-                clean, mask, idxs)
+        return (jax.device_put(padded), jax.device_put(sizes), aux, idxs)
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
@@ -232,7 +229,7 @@ def _native_batches(items, out_size: int, batch_size: int,
         try:
             groups: Dict[int, list] = {}
             with cf.ThreadPoolExecutor(decode_workers) as ex:
-                for item in bounded_map(ex, len(items),
+                for item in bounded_map(ex, len(paths),
                                         decode_workers * 4):
                     if stop.is_set():
                         return
@@ -358,10 +355,29 @@ def restore_tree(
     if resize == "device":
         native_step = make_native_restore_step(restorer_apply,
                                                has_batch_stats, size)
-        it = _native_batches(ds.items, size, batch_size, with_metrics)
+
+        def aux_fn(i):
+            cpath = ds.items[i][1]
+            if with_metrics and cpath:
+                from tsr_tpu.data import gtsrb as g
+
+                return g._decode_resize(cpath, size)
+            return None
+
+        it = native_batches([d for d, _ in ds.items], size, batch_size,
+                            aux_fn=aux_fn if with_metrics else None)
 
         def dispatch(variables, batch):
-            padded, sizes, clean, mask, idxs = batch
+            padded, sizes, aux, idxs = batch
+            k = len(idxs)
+            mask = np.asarray([a is not None for a in aux]
+                              if aux else [False] * k)
+            if mask.any():
+                clean = np.stack([
+                    a if a is not None
+                    else np.zeros((size, size, 3), np.uint8) for a in aux])
+            else:
+                clean = None
             return native_step(variables, padded, sizes), clean, mask, idxs
     else:
         host_step = make_restore_step(restorer_apply, has_batch_stats)

@@ -36,6 +36,16 @@ from tsr_tpu.models.vgg import VGG16
 
 _CONV_DIMS = ("NHWC", "HWIO", "NHWC")
 
+# Dequantized conv activations are STORED in bf16. The int8 graph's HBM
+# footprint was dominated by f32 dequant temps — two f32[512,224,224,64]
+# allocations of 6.12 GB each out of the 15.78 GB that failed AOT compile
+# at batch 512 with "Exceeded hbm capacity by 30.47M"
+# (benchmarks/readings/r5/int8_aot.jsonl; VERDICT r4 task 7). bf16 storage
+# halves them; the scale/bias math stays f32 and bf16's 8-bit mantissa
+# matches int8's own precision, so the added error sits below the
+# quantization noise (tests/test_quant.py tolerances unchanged).
+_ACT_DTYPE = jnp.bfloat16
+
 
 def absmax_quantize(w: jnp.ndarray, axes) -> tuple:
     """Symmetric abs-max int8 quantization of ``w`` over ``axes``.
@@ -118,13 +128,23 @@ def quantize_vgg16(model: VGG16, variables) -> Dict[str, Any]:
     return {"convs": convs, "fcs": fcs}
 
 
+def _act_store(h):
+    """Force ``h`` to MATERIALIZE as bf16. A bare ``.astype`` is not
+    enough: XLA keeps the f32 dequant+relu fusion output as the stored
+    buffer and duplicates the convert into each consumer, so the
+    6.12 GB-per-tensor f32 temps survive (the batch-512 OOM). The
+    barrier makes the convert the fusion's root, so the buffer that
+    lives between layers is the bf16 one."""
+    return lax.optimization_barrier(h.astype(_ACT_DTYPE))
+
+
 def _qconv(h, layer, relu: bool = True):
     xq, sx = _quantize_act(h)
     y = lax.conv_general_dilated(
         xq, layer["q"], (1, 1), "SAME",
         dimension_numbers=_CONV_DIMS, preferred_element_type=jnp.int32)
     h = y.astype(jnp.float32) * (sx * layer["scale"]) + layer["bias"]
-    return jax.nn.relu(h) if relu else h
+    return _act_store(jax.nn.relu(h) if relu else h)
 
 
 def _qdense(h, layer, relu: bool = True):
@@ -199,7 +219,8 @@ def _qconv_t(h, layer):
     y = lax.conv_transpose(
         xq, layer["q"], (2, 2), "VALID",
         dimension_numbers=_CONV_DIMS, preferred_element_type=jnp.int32)
-    return y.astype(jnp.float32) * (sx * layer["scale"]) + layer["bias"]
+    return _act_store(y.astype(jnp.float32) * (sx * layer["scale"])
+                      + layer["bias"])
 
 
 def _maxpool2(h):
@@ -289,7 +310,10 @@ def make_int8_resunet_apply(model):
     n = len(model.widths)
 
     def prelu(h, alpha):
-        return jnp.where(h >= 0, h, alpha * h)
+        # alpha is stored f32; cast to the activation dtype or the where
+        # PROMOTES every block output back to f32, resurrecting the
+        # 6.12 GB temps _act_store exists to kill (int8_aot.jsonl)
+        return jnp.where(h >= 0, h, alpha.astype(h.dtype) * h)
 
     def block(h, layer):
         y = _qconv(h, layer["conv1"], relu=False)
