@@ -103,12 +103,16 @@ def _fused_eval_throughput(size, int8=False):
     from tsr_tpu.ops import image as image_ops
 
     # Defaults from the round-4 eval grid (benchmarks/readings/r4): bf16
-    # peaks at 512x8 (1505.7 img/s vs 1495.5 at 256x4); the int8 graph
-    # fails relay-side AOT compile at batch 512 but is clean at 384x4,
-    # so the int8 block pins its own known-good shape.
+    # peaks at 512x8 (1505.7 img/s; r5 roofline: the whole 256x8..512x16
+    # grid is a ~1510 plateau, MXU-bound at ~65% of bf16 peak —
+    # benchmarks/readings/r5/serve_roofline.jsonl). The int8 graph's old
+    # batch-384 pin is gone: its batch-512 AOT failure was a compile-time
+    # HBM OOM from f32 dequant temps, fixed by bf16 activation storage
+    # (docs/DESIGN.md int8 section, round 5) — int8 now shares the bf16
+    # headline shape for comparability.
     if int8:
-        batch = int(os.environ.get("TSR_BENCH_INT8_BATCH", "384"))
-        chunks = int(os.environ.get("TSR_BENCH_INT8_CHUNKS", "4"))
+        batch = int(os.environ.get("TSR_BENCH_INT8_BATCH", "512"))
+        chunks = int(os.environ.get("TSR_BENCH_INT8_CHUNKS", "8"))
     else:
         batch = int(os.environ.get("TSR_BENCH_BATCH", "512"))
         chunks = int(os.environ.get("TSR_BENCH_CHUNKS", "8"))
